@@ -1,0 +1,209 @@
+"""Dense SE(3) Gauss-Newton step — the TPU re-design of lietorch_extras.
+
+The reference builds per-pixel 6x6 normal equations with a fused CUDA kernel
+(`lietorch_extras.se3_build_inplace`, reference: se3_field.py:13-31,150-170)
+and solves them with `cholesky6x6` CUDA kernels.  The math:
+
+    for target pixel i:   H_i = sum_j a_ij * J_j^T W_j J_j
+                          b_i = sum_j a_ij * J_j^T W_j r_j
+    a_ij = sigmoid(-||ae_i - ae_j||^2)   within a square window |di|,|dj| <= radius
+    r_j  = target_j - pi(T_j X_j),  J_j = d pi(T X_j)/d xi |_{T_j}  (left perturbation)
+
+Key structural fact exploited here: J, W, r depend only on the *source*
+pixel j, so the neighborhood reduction is an attention-weighted aggregation
+of a 27-channel value field (21 unique entries of the symmetric 6x6 H + 6
+of b).  That is two MXU matmuls (scores + aggregation) — exactly what the
+TPU is fastest at — instead of a hand-rolled scatter kernel.  The 6x6
+Cholesky solve is unrolled into vectorized element-wise ops (VPU), which
+beats lane-wasting batched linalg at this tiny size.
+
+Everything is differentiable by XLA; the reference's custom backward kernels
+are unnecessary.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import se3
+from .projective import inv_project, project
+
+__all__ = ["gn_step", "cholesky_solve_small", "grad_clip"]
+
+
+# ---------------------------------------------------------------------------
+# GradientClip: straight-through with zeroed exploding/NaN grads
+# (reference: raft3d.py:20-41, GRAD_CLIP=0.01)
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def grad_clip(x, clip: float = 0.01):
+    return x
+
+
+def _gc_fwd(x, clip):
+    return x, clip
+
+
+def _gc_bwd(clip, g):
+    z = jnp.zeros_like(g)
+    g = jnp.where(jnp.abs(g) > clip, z, g)
+    g = jnp.where(jnp.isnan(g), z, g)
+    return (g, None)
+
+
+grad_clip.defvjp(_gc_fwd, _gc_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Batched tiny Cholesky (unrolled; all element-wise over the pixel dim)
+# ---------------------------------------------------------------------------
+
+def cholesky_solve_small(H: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve H x = b for SPD H of static small size.
+
+    H: (..., n, n), b: (..., n).  Unrolled LL^T factorization: every scalar
+    of the factor is a vectorized op over the leading dims, so the whole
+    solve is VPU element-wise work with zero lane waste.
+    """
+    n = H.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = H[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# System build + step
+# ---------------------------------------------------------------------------
+
+def _skew(v):
+    x, y, z = jnp.moveaxis(v, -1, 0)
+    zero = jnp.zeros_like(x)
+    return jnp.stack(
+        [
+            jnp.stack([zero, -z, y], -1),
+            jnp.stack([z, zero, -x], -1),
+            jnp.stack([-y, x, zero], -1),
+        ],
+        axis=-2,
+    )
+
+
+def _sym_pack(M):
+    """(..., 6, 6) symmetric -> (..., 21) upper-tri entries."""
+    idx = [(i, j) for i in range(6) for j in range(i, 6)]
+    return jnp.stack([M[..., i, j] for i, j in idx], axis=-1)
+
+
+def _sym_unpack(p):
+    """(..., 21) -> (..., 6, 6) symmetric."""
+    out = jnp.zeros(p.shape[:-1] + (6, 6), p.dtype)
+    k = 0
+    for i in range(6):
+        for j in range(i, 6):
+            out = out.at[..., i, j].set(p[..., k])
+            if i != j:
+                out = out.at[..., j, i].set(p[..., k])
+            k += 1
+    return out
+
+
+def build_system(Ts, ae, target, weight, depth, intrinsics, radius=32):
+    """Attention-aggregated GN normal equations.
+
+    Args:
+      Ts: (B,h,w,7) SE3 field.  ae: (B,h,w,ae_dim) embeddings (pre-scaled).
+      target: (B,h,w,3) [x,y,1/z] targets.  weight: (B,h,w,3) per-component
+      confidence.  depth: (B,h,w).  intrinsics: (B,4).
+      radius: Chebyshev window radius in pixels (None = full attention).
+
+    Returns (H (B,h,w,6,6), b (B,h,w,6)).
+    """
+    B, h, w, _ = Ts.shape
+    n = h * w
+    f32 = jnp.float32
+
+    X = inv_project(depth, intrinsics).astype(f32)
+    Y = se3.act(Ts.astype(f32), X)
+    proj = project(Y, intrinsics)
+    r = target.astype(f32) - proj  # (B,h,w,3)
+
+    fx = intrinsics[:, 0, None, None].astype(f32)
+    fy = intrinsics[:, 1, None, None].astype(f32)
+    Yx, Yy, Yz = jnp.moveaxis(Y, -1, 0)
+    Zinv = 1.0 / (Yz + 1e-5)
+    Z2inv = Zinv * Zinv
+    zero = jnp.zeros_like(Zinv)
+    # d pi / d Y  (3x3)
+    Jpi = jnp.stack(
+        [
+            jnp.stack([fx * Zinv, zero, -fx * Yx * Z2inv], -1),
+            jnp.stack([zero, fy * Zinv, -fy * Yy * Z2inv], -1),
+            jnp.stack([zero, zero, -Z2inv], -1),
+        ],
+        axis=-2,
+    )  # (B,h,w,3,3)
+    # d Y / d xi = [I | -[Y]x]  for left perturbation exp(xi) * T
+    J = jnp.concatenate([Jpi, -jnp.einsum("...ij,...jk->...ik", Jpi, _skew(Y))], axis=-1)  # (B,h,w,3,6)
+
+    Wd = weight.astype(f32)
+    JW = J * Wd[..., None]  # (B,h,w,3,6), rows scaled by weight
+    M = jnp.einsum("...ki,...kj->...ij", J, JW)  # (B,h,w,6,6) = J^T W J
+    v = jnp.einsum("...ki,...k->...i", J, Wd * r)  # (B,h,w,6)
+
+    # value field: 21 unique H entries + 6 b entries
+    vals = jnp.concatenate([_sym_pack(M), v], axis=-1).reshape(B, n, 27)
+
+    # attention scores over the (windowed) pixel graph — MXU matmul
+    aef = ae.astype(f32).reshape(B, n, -1)
+    sq = jnp.sum(aef * aef, axis=-1)
+    logits = 2.0 * jnp.einsum("bic,bjc->bij", aef, aef) - sq[:, :, None] - sq[:, None, :]
+    if radius is not None:
+        ys, xs = jnp.divmod(jnp.arange(n), w)
+        inside = (jnp.abs(ys[:, None] - ys[None, :]) <= radius) & (
+            jnp.abs(xs[:, None] - xs[None, :]) <= radius
+        )
+        scores = jax.nn.sigmoid(logits) * inside[None].astype(f32)
+    else:
+        scores = jax.nn.sigmoid(logits)
+
+    agg = jnp.einsum("bij,bjc->bic", scores, vals).reshape(B, h, w, 27)
+    Hmat = _sym_unpack(agg[..., :21])
+    bvec = agg[..., 21:]
+    return Hmat, bvec
+
+
+def gn_step(Ts, ae, target, weight, depth, intrinsics, radius=32, lm=1e-4, ep=10.0):
+    """One damped Gauss-Newton update of the dense SE3 field.
+
+    Mirrors reference se3_field.step_inplace (se3_field.py:150-170):
+    ae is pre-scaled by 1/8, damping is ``H + (lm*H + ep) * I``, update is
+    ``exp(dx) * Ts``.
+    """
+    ae = ae / 8.0
+    H, b = build_system(Ts, ae, target, weight, depth, intrinsics, radius)
+    diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+    H = H + jnp.zeros_like(H).at[..., jnp.arange(6), jnp.arange(6)].set(lm * diag + ep)
+    dx = cholesky_solve_small(H, b)
+    return se3.mul(se3.exp(dx.astype(Ts.dtype)), Ts)

@@ -1,0 +1,58 @@
+"""Flow / disparity warping with validity masks.
+
+Behavioural contract mirrors the reference warps (reference: utils/warp.py:43-92):
+forward-sample the source image at ``grid + offset`` and derive a validity
+mask by warping an all-ones image with zero padding, thresholded at 0.9999.
+
+NHWC layout; flow is (B, H, W, 2) in (dx, dy) pixel units.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .grid_sample import grid_sample
+
+__all__ = ["meshgrid_xy", "flow_warp", "disp_warp"]
+
+
+def meshgrid_xy(h: int, w: int, dtype=jnp.float32):
+    """(h, w) maps of x and y pixel coordinates."""
+    x = jnp.arange(w, dtype=dtype)[None, :] * jnp.ones((h, 1), dtype)
+    y = jnp.arange(h, dtype=dtype)[:, None] * jnp.ones((1, w), dtype)
+    return x, y
+
+
+def _warp(img, coords, padding_mode, mode):
+    warped = grid_sample(img, coords, mode=mode, padding_mode=padding_mode)
+    ones = jnp.ones_like(img)
+    vmask = grid_sample(ones, coords, mode=mode, padding_mode="zeros")
+    valid = vmask >= 0.9999
+    return warped, valid
+
+
+def flow_warp(img: jnp.ndarray, flow: jnp.ndarray, padding_mode: str = "border",
+              mode: str = "bilinear"):
+    """Backward-warp ``img`` by optical flow.
+
+    img: (B, H, W, C); flow: (B, H, W, 2).
+    Returns (warped (B,H,W,C), valid (B,H,W,C) bool).
+    """
+    B, H, W, _ = img.shape
+    x, y = meshgrid_xy(H, W, img.dtype)
+    coords = jnp.stack([x[None] + flow[..., 0], y[None] + flow[..., 1]], axis=-1)
+    return _warp(img, coords, padding_mode, mode)
+
+
+def disp_warp(img: jnp.ndarray, disp: jnp.ndarray, padding_mode: str = "border"):
+    """Backward-warp the right image by (positive) disparity.
+
+    img: (B, H, W, C); disp: (B, H, W) or (B, H, W, 1).
+    Returns (warped, valid) like :func:`flow_warp`.
+    """
+    if disp.ndim == 4:
+        disp = disp[..., 0]
+    B, H, W, _ = img.shape
+    x, y = meshgrid_xy(H, W, img.dtype)
+    coords = jnp.stack([x[None] - disp, jnp.broadcast_to(y[None], disp.shape)], axis=-1)
+    return _warp(img, coords, padding_mode, "bilinear")

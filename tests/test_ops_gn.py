@@ -1,0 +1,69 @@
+"""Gauss-Newton solver: tiny-Cholesky correctness and GN convergence on a
+synthetic rigid-motion problem."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from codd_tpu.ops import se3, gn, projective
+
+
+def test_cholesky_solve_small_matches_numpy():
+    rng = np.random.RandomState(0)
+    A = rng.randn(50, 6, 6).astype(np.float32)
+    H = np.einsum("nij,nkj->nik", A, A) + 6 * np.eye(6, dtype=np.float32)
+    b = rng.randn(50, 6).astype(np.float32)
+    x = np.asarray(gn.cholesky_solve_small(jnp.asarray(H), jnp.asarray(b)))
+    ref = np.stack([np.linalg.solve(H[i], b[i]) for i in range(50)])
+    np.testing.assert_allclose(x, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_gn_step_recovers_rigid_motion():
+    """A constant SE3 motion with exact targets should be recovered by a few
+    damped GN iterations when the embedding field is constant (full support)."""
+    rng = np.random.RandomState(1)
+    B, h, w = 1, 8, 10
+    intr = jnp.asarray([[20.0, 20.0, w / 2, h / 2]], jnp.float32)
+    depth = jnp.asarray(2.0 + rng.rand(B, h, w).astype(np.float32))
+
+    true_tau = jnp.asarray([[0.05, -0.03, 0.08, 0.02, -0.015, 0.01]], jnp.float32)
+    Ttrue = jnp.broadcast_to(se3.exp(true_tau)[:, None, None, :], (B, h, w, 7))
+
+    target, _ = projective.projective_transform(Ttrue, depth, intr)
+
+    ae = jnp.zeros((B, h, w, 16), jnp.float32)
+    weight = jnp.ones((B, h, w, 3), jnp.float32)
+
+    step = jax.jit(lambda T: gn.gn_step(T, ae, target, weight, depth, intr,
+                                        radius=32, ep=1.0))
+    Ts = se3.identity((B, h, w))
+    for _ in range(8):
+        Ts = step(Ts)
+
+    tau = np.asarray(se3.log(Ts))
+    err = np.abs(tau - np.asarray(true_tau)[0]).max()
+    assert err < 5e-3, f"GN failed to converge, err={err}"
+
+
+def test_gn_step_differentiable_and_grad_clip():
+    rng = np.random.RandomState(2)
+    B, h, w = 1, 6, 8
+    intr = jnp.asarray([[15.0, 15.0, 4.0, 3.0]], jnp.float32)
+    depth = jnp.asarray(1.5 + rng.rand(B, h, w).astype(np.float32))
+    target = jnp.asarray(rng.rand(B, h, w, 3).astype(np.float32))
+
+    def loss_fn(ae):
+        Ts = se3.identity((B, h, w))
+        Ts = gn.gn_step(Ts, ae, target, jnp.ones((B, h, w, 3)), depth, intr)
+        return jnp.sum(se3.log(Ts) ** 2)
+
+    g = jax.grad(loss_fn)(jnp.asarray(rng.rand(B, h, w, 8).astype(np.float32)))
+    assert np.isfinite(np.asarray(g)).all()
+
+    # incoming grad 1.0 > 0.01 -> zeroed at the clip
+    gc = jax.grad(lambda x: jnp.sum(gn.grad_clip(x)))(jnp.ones((4,)))
+    np.testing.assert_array_equal(np.asarray(gc), 0.0)
+    # incoming grad 0.005 < 0.01 -> passes through unchanged
+    gc2 = jax.grad(lambda x: jnp.sum(gn.grad_clip(x) * 0.005))(jnp.ones((4,)))
+    np.testing.assert_allclose(np.asarray(gc2), 0.005, rtol=1e-5)
