@@ -1,0 +1,372 @@
+"""HITNet-style tile-hypothesis stereo matcher (TPU/flax re-design).
+
+Capability parity with the reference stereo stack (reference:
+model/stereo/hitnet/{backbone,initialization,propagation,hitnet}.py;
+HITNet = arXiv 2007.12140), re-laid-out NHWC with cost volumes channel-last.
+
+Structure:
+  * HITUNet       — 5-level UNet feature pyramid [1/16, 1/8, 1/4, 1/2, 1/1]
+  * TileInit      — 4x4 tile embeddings per level; right-image tile features
+                    computed at every horizontal position (stride (4,1) after
+                    3px right-pad) so the matching cost is a pure gather:
+                    cost(i, d) = ||L_i - R_{4i-d}||_1  (initialization.py:18-45)
+  * TilePropagation — coarse-to-fine tile updates with slant-plane local
+                    cost volumes and two-hypothesis selection
+  * HITNetStereo  — wrapper returning the per-frame outputs dict
+
+Tile hypothesis layout (trailing 16 channels): [d, dx, dy, 13-ch descriptor].
+The hypothesis pyramid lives at resolutions [1/64 .. 1/4] of the input.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.grid_sample import grid_sample
+from ...ops.upsample import hyp_upsample, pixel_unshuffle, to_plane
+from ...ops.warp import meshgrid_xy
+from ..layers import Conv, ConvTranspose, SharedStrideConv, lrelu
+
+__all__ = ["HITUNet", "TileInitialization", "TilePropagation", "HITNetStereo"]
+
+
+# ---------------------------------------------------------------------------
+# Backbone
+# ---------------------------------------------------------------------------
+
+
+class _ConvDown(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = lrelu(Conv(self.features, 4, stride=2, padding=1, name="c0")(x))
+        x = lrelu(Conv(self.features, 3, padding=1, name="c1")(x))
+        return x
+
+
+class _ConvMerge(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = lrelu(Conv(self.features, 1, name="c0")(x))
+        x = lrelu(Conv(self.features, 3, padding=1, name="c1")(x))
+        x = lrelu(Conv(self.features, 3, padding=1, name="c2")(x))
+        return x
+
+
+class HITUNet(nn.Module):
+    """UNet backbone; returns [1/16, 1/8, 1/4, 1/2, 1/1] features with
+    channels [32, 24, 24, 16, 16] (backbone.py:43-88)."""
+
+    @nn.compact
+    def __call__(self, x):
+        x_down = lrelu(Conv(16, 3, padding=1, name="conv1")(x))
+        x_down1 = _ConvDown(16, name="down1")(x_down)
+        x_down2 = _ConvDown(24, name="down2")(x_down1)
+        x_down3 = _ConvDown(24, name="down3")(x_down2)
+        x4 = _ConvDown(32, name="down4_0")(x_down3)
+        x4 = lrelu(Conv(32, 3, padding=1, name="down4_1")(x4))
+        x_down4 = lrelu(Conv(32, 3, padding=1, name="down4_2")(x4))
+
+        up4 = lrelu(ConvTranspose(24, name="up4")(x_down4))
+        x_up4 = _ConvMerge(24, name="merge4")(jnp.concatenate([x_down3, up4], -1))
+        up3 = lrelu(ConvTranspose(24, name="up3")(x_up4))
+        x_up3 = _ConvMerge(24, name="merge3")(jnp.concatenate([x_down2, up3], -1))
+        up2 = lrelu(ConvTranspose(16, name="up2")(x_up3))
+        x_up2 = _ConvMerge(16, name="merge2")(jnp.concatenate([x_down1, up2], -1))
+        up1 = lrelu(ConvTranspose(16, name="up1")(x_up2))
+        x_up1 = _ConvMerge(16, name="merge1")(jnp.concatenate([x_down, up1], -1))
+
+        return [x_down4, x_up4, x_up3, x_up2, x_up1]
+
+
+# ---------------------------------------------------------------------------
+# Tile initialization
+# ---------------------------------------------------------------------------
+
+
+def calc_init_cost(feat_l: jnp.ndarray, feat_r_full: jnp.ndarray,
+                   max_disp: int, chunk: int = 32) -> jnp.ndarray:
+    """Matching cost over all disparities as a chunked gather.
+
+    feat_l: (B, ht, wt, C) left tile features (one per 4px column).
+    feat_r_full: (B, ht, wr, C) right tile features at every column.
+    Returns cost (B, ht, wt, D): ||L_i - R_{4i-d}||_1, zeros-padded gather
+    (out-of-range right features read as 0, matching the reference's
+    zeros-padded nearest grid_sample).
+    """
+    B, ht, wt, C = feat_l.shape
+    wr = feat_r_full.shape[2]
+    D = max_disp
+    pad = (-D) % chunk
+    xs = 4 * jnp.arange(wt)
+
+    def one_chunk(d0):
+        ds = d0 + jnp.arange(chunk)  # (G,)
+        idx = xs[None, :] - ds[:, None]  # (G, wt)
+        ok = (idx >= 0) & (idx < wr) & (ds[:, None] < D)
+        idxc = jnp.clip(idx, 0, wr - 1)
+        r = jnp.take(feat_r_full, idxc.reshape(-1), axis=2)
+        r = r.reshape(B, ht, chunk, wt, C)
+        r = jnp.where(ok[None, :, :, None], r, 0.0)
+        return jnp.sum(jnp.abs(feat_l[:, :, None] - r), axis=-1)  # (B,ht,G,wt)
+
+    starts = jnp.arange(0, D + pad, chunk)
+    cost = jax.lax.map(one_chunk, starts)  # (n,B,ht,G,wt)
+    cost = jnp.moveaxis(cost, 0, 2).reshape(B, ht, -1, wt)[:, :, :D]
+    return jnp.moveaxis(cost, 2, 3)  # (B, ht, wt, D)
+
+
+class _TileConv(nn.Module):
+    """Shared-weight 4x4 tile embedding; left stride (4,4), right stride (4,1)."""
+
+    @nn.compact
+    def __call__(self, fea_l, fea_r):
+        c0 = SharedStrideConv(16, (4, 4), name="c0")
+        c1 = Conv(16, 1, name="c1")
+        tl = lrelu(c1(lrelu(c0(fea_l, (4, 4)))))
+        # zero-pad 3 columns on the right, then stride (4,1): one tile
+        # feature per column (initialization.py:119-124)
+        fr = jnp.pad(fea_r, ((0, 0), (0, 0), (0, 3), (0, 0)))
+        tr = lrelu(c1(lrelu(c0(fr, (4, 1)))))
+        return tl, tr
+
+
+class TileInitialization(nn.Module):
+    max_disp: int = 320
+
+    @nn.compact
+    def __call__(self, fea_l: Sequence[jnp.ndarray], fea_r: Sequence[jnp.ndarray]):
+        """fea pyramids [1/16..1/1].  Returns (cost pyramid, hypothesis pyramid),
+        both coarse-to-fine at tile resolutions [1/64 .. 1/4]."""
+        names = ["16x", "8x", "4x", "2x", "1x"]
+        divs = [16, 8, 4, 2, 1]
+        costs, hyps = [], []
+        for lvl in range(5):
+            tl, tr = _TileConv(name=f"tile_conv{names[lvl]}")(fea_l[lvl], fea_r[lvl])
+            cost = calc_init_cost(tl, tr, self.max_disp // divs[lvl])
+            cmin = jnp.min(cost, axis=-1, keepdims=True)
+            d0 = jnp.argmin(cost, axis=-1).astype(tl.dtype)[..., None]
+            # descriptor input: coarse levels use the tile embedding itself,
+            # fine levels the backbone feature at tile res (initialization.py:186-190)
+            guide = tl if lvl < 2 else fea_l[lvl - 2]
+            dscrpt = lrelu(Conv(13, 1, name=f"tile_fea_dscrpt{names[lvl]}")(
+                jnp.concatenate([cmin, guide], -1)))
+            zeros = jnp.zeros_like(d0)
+            hyps.append(jnp.concatenate([d0, zeros, zeros, dscrpt], -1))
+            costs.append(cost)
+        return costs, hyps
+
+
+# ---------------------------------------------------------------------------
+# Tile propagation
+# ---------------------------------------------------------------------------
+
+
+def _warp_by_disp(fea_r, disp):
+    """Sample fea_r at x - disp (bilinear, zeros padding) — propagation.py:35-58."""
+    B, H, W, _ = fea_r.shape
+    x, y = meshgrid_xy(H, W, fea_r.dtype)
+    coords = jnp.stack([x[None] - disp, jnp.broadcast_to(y[None], disp.shape)], -1)
+    return grid_sample(fea_r, coords, mode="bilinear", padding_mode="zeros")
+
+
+def tile_warping(hyp3, fea_l, fea_r):
+    """Slant-plane local cost volume -> (B, ht, wt, 48) (propagation.py:61-86)."""
+    d, dx, dy = hyp3[..., 0], hyp3[..., 1], hyp3[..., 2]
+    cvs = []
+    for k in (-1.0, 0.0, 1.0):
+        local_d = to_plane(d + k, dx, dy, size=4)
+        warped = _warp_by_disp(fea_r, local_d)
+        cv = jnp.sum(jnp.abs(fea_l - warped), axis=-1, keepdims=True)
+        cvs.append(pixel_unshuffle(cv, 4))
+    return jnp.concatenate(cvs, -1)
+
+
+class ResBlock(nn.Module):
+    features: int
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.dilation if self.dilation > 1 else 1
+        y = lrelu(Conv(self.features, 3, padding=p, dilation=self.dilation,
+                       name="conv1")(x))
+        y = Conv(self.features, 3, padding=p, dilation=self.dilation,
+                 name="conv2")(y)
+        return lrelu(x + y)
+
+
+class _CVEncoder(nn.Module):
+    """unshuffled |fea_l| + tile-warp cost -> 16ch (the `decrease` layer)."""
+
+    @nn.compact
+    def __call__(self, hyp3, fea_l, fea_r, fea_mag):
+        cv = tile_warping(hyp3, fea_l, fea_r)
+        return lrelu(Conv(16, 1, name="decrease")(
+            jnp.concatenate([fea_mag, cv], -1)))
+
+
+class TileUpdate0(nn.Module):
+    """Coarsest-level refinement (propagation.py:124-172)."""
+
+    @nn.compact
+    def __call__(self, fea_l, fea_r, hyp):
+        fea_mag = pixel_unshuffle(
+            jnp.sum(jnp.abs(fea_l), -1, keepdims=True), 4)
+        cv = _CVEncoder(name="cv")(hyp[..., :3], fea_l, fea_r, fea_mag)
+        x = lrelu(Conv(32, 1, name="conv0")(jnp.concatenate([hyp, cv], -1)))
+        x = ResBlock(32, name="resblock0")(x)
+        x = ResBlock(32, name="resblock1")(x)
+        upd = Conv(16, 3, padding=1, name="lastconv")(x)
+        refined = hyp + upd
+        d = jax.nn.relu(refined[..., :1])
+        return jnp.concatenate([d, refined[..., 1:]], -1)
+
+
+class TileUpdate(nn.Module):
+    """Two-hypothesis refinement + confidence selection (propagation.py:175-248)."""
+
+    @nn.compact
+    def __call__(self, fea_l, fea_r, hyp_cur, hyp_prev):
+        fea_mag = pixel_unshuffle(
+            jnp.sum(jnp.abs(fea_l), -1, keepdims=True), 4)
+        enc = _CVEncoder(name="cv")
+        cv_cur = enc(hyp_cur[..., :3], fea_l, fea_r, fea_mag)
+        hyp_up = hyp_upsample(hyp_prev, 2.0)
+        cv_up = enc(hyp_up[..., :3], fea_l, fea_r, fea_mag)
+
+        x = jnp.concatenate([hyp_cur, cv_cur, hyp_up, cv_up], -1)
+        x = lrelu(Conv(32, 1, name="conv0")(x))
+        x = ResBlock(32, name="resblock0")(x)
+        x = ResBlock(32, name="resblock1")(x)
+        out = Conv(34, 3, padding=1, name="lastconv")(x)
+
+        conf = out[..., :2]           # [prev_conf, cur_conf]
+        d_prev = out[..., 2:18]
+        d_cur = out[..., 18:34]
+
+        def relu_d(h):
+            return jnp.concatenate([jax.nn.relu(h[..., :1]), h[..., 1:]], -1)
+
+        upd_cur = relu_d(hyp_cur + d_cur)
+        upd_prev = relu_d(hyp_up + d_prev)
+        sel = (jnp.argmax(conf, axis=-1, keepdims=True) == 1).astype(out.dtype)
+        refined = sel * upd_cur + (1.0 - sel) * upd_prev
+
+        cur_and_conf = jnp.concatenate([upd_cur, conf[..., 1:2]], -1)
+        prev_and_conf = jnp.concatenate([upd_prev, conf[..., 0:1]], -1)
+        return refined, cur_and_conf, prev_and_conf
+
+
+class PostTileUpdate(nn.Module):
+    """Feature-guided refinement at/below tile size (propagation.py:251-290)."""
+
+    hid_c: int = 32
+    out_c: int = 16
+    resblk_num: int = 4
+
+    @nn.compact
+    def __call__(self, fea_l, hyp):
+        x = jnp.concatenate([fea_l, hyp], -1)
+        x = lrelu(Conv(self.hid_c, 1, name="conv1_0")(x))
+        x = lrelu(Conv(self.hid_c, 3, padding=1, name="conv1_1")(x))
+        for i in range(self.resblk_num):
+            dil = 3 if i == 1 else 1
+            x = ResBlock(self.hid_c, dilation=dil, name=f"resblock{i}")(x)
+        upd = Conv(self.out_c, 3, padding=1, name="lastconv")(x)
+        refined = hyp + upd
+        return jnp.concatenate([jax.nn.relu(refined[..., :1]), refined[..., 1:]], -1)
+
+
+class FinalTileUpdate(nn.Module):
+    """Final per-pixel update; emits only [d, dx, dy] (propagation.py:293-333)."""
+
+    hid_c: int = 16
+    resblk_num: int = 2
+
+    @nn.compact
+    def __call__(self, fea_l, hyp):
+        x = jnp.concatenate([fea_l, hyp], -1)
+        x = lrelu(Conv(self.hid_c, 1, name="conv1_0")(x))
+        x = lrelu(Conv(self.hid_c, 3, padding=1, name="conv1_1")(x))
+        for i in range(self.resblk_num):
+            x = ResBlock(self.hid_c, name=f"resblock{i}")(x)
+        upd = Conv(3, 3, padding=1, name="lastconv")(x)
+        # reference quirk kept: the previous disparity is broadcast-added to
+        # all three output channels (propagation.py:330)
+        return jax.nn.relu(hyp[..., 0:1] + upd)
+
+
+class TilePropagation(nn.Module):
+    @nn.compact
+    def __call__(self, fea_l, fea_r, init_hyps, train: bool = False):
+        t16 = TileUpdate0(name="tile_update0")(fea_l[0], fea_r[0], init_hyps[0])
+        t8 = TileUpdate(name="tile_update1")(fea_l[1], fea_r[1], init_hyps[1], t16)
+        t4 = TileUpdate(name="tile_update2")(fea_l[2], fea_r[2], init_hyps[2], t8[0])
+        t2 = TileUpdate(name="tile_update3")(fea_l[3], fea_r[3], init_hyps[3], t4[0])
+        t1 = TileUpdate(name="tile_update4")(fea_l[4], fea_r[4], init_hyps[4], t2[0])
+        r1x = PostTileUpdate(32, 16, 4, name="tile_update4_1")(fea_l[2], t1[0])
+        r05x = PostTileUpdate(32, 16, 4, name="tile_update5")(
+            fea_l[3], hyp_upsample(r1x, 1.0))
+        r025x = FinalTileUpdate(16, 2, name="tile_update6")(
+            fea_l[4], hyp_upsample(r05x, 1.0))
+        final_disp = r025x[..., 0:1]
+
+        if not train:
+            return final_disp, None
+
+        # training: slant-upsampled supervision pyramids, pre/cur ordered
+        # (propagation.py:374-451)
+        planes = [
+            hyp_upsample(t16, 16.0, 64),
+            hyp_upsample(t8[1], 8.0, 32), hyp_upsample(t8[2], 8.0, 32),
+            hyp_upsample(t4[1], 4.0, 16), hyp_upsample(t4[2], 4.0, 16),
+            hyp_upsample(t2[1], 2.0, 8), hyp_upsample(t2[2], 2.0, 8),
+            hyp_upsample(t1[1], 1.0, 4), hyp_upsample(t1[2], 1.0, 4),
+            hyp_upsample(r1x, 1.0, 4),
+            hyp_upsample(r05x, 1.0, 2),
+            r025x,
+        ]
+        aux = {
+            "prop_disp_pyramid": [p[..., 0:1] for p in planes],
+            "dx_pyramid": [p[..., 1:2] for p in planes],
+            "dy_pyramid": [p[..., 2:3] for p in planes],
+            # w (confidence) exists for the 8 two-hypothesis outputs only
+            "w_pyramid": [p[..., 16:17] for p in planes[1:9]],
+        }
+        return final_disp, aux
+
+
+class HITNetStereo(nn.Module):
+    """Stereo wrapper — the `HITNetMF` equivalent (hitnet.py:14-122)."""
+
+    max_disp: int = 320
+
+    @nn.compact
+    def __call__(self, left_img, right_img, train: bool = False):
+        backbone = HITUNet(name="backbone")
+        fea_l = backbone(left_img)
+        fea_r = backbone(right_img)
+        init_cv, init_hyps = TileInitialization(
+            self.max_disp, name="tile_init")(fea_l, fea_r)
+        final_disp, aux = TilePropagation(name="tile_update")(
+            fea_l, fea_r, init_hyps, train=train)
+
+        outputs = {
+            "pred_disp": final_disp,           # (B, H, W, 1)
+            "left_feat": fea_l[2],             # 1/4 res, 24ch
+            "right_feat": fea_r[2],
+            "left_img": left_img,
+        }
+        if train:
+            outputs["init_cv_pyramid"] = init_cv
+            outputs.update(aux)
+            outputs["pred_disp"] = aux["prop_disp_pyramid"][-1]
+        return outputs

@@ -1,0 +1,76 @@
+"""HITNet stereo: shapes, init-cost correctness, jit-ability."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from codd_tpu.models.stereo.hitnet import (
+    HITNetStereo, HITUNet, calc_init_cost,
+)
+
+
+def test_calc_init_cost_gather_semantics():
+    rng = np.random.RandomState(0)
+    B, ht, wt, C = 1, 3, 5, 4
+    wr = 4 * wt
+    fl = rng.randn(B, ht, wt, C).astype(np.float32)
+    fr = rng.randn(B, ht, wr, C).astype(np.float32)
+    D = 8
+    cost = np.asarray(calc_init_cost(jnp.asarray(fl), jnp.asarray(fr), D))
+    assert cost.shape == (B, ht, wt, D)
+    for i in range(wt):
+        for d in range(D):
+            x = 4 * i - d
+            r = fr[0, :, x] if 0 <= x < wr else np.zeros((ht, C), np.float32)
+            ref = np.abs(fl[0, :, i] - r).sum(-1)
+            np.testing.assert_allclose(cost[0, :, i, d], ref, atol=1e-5)
+
+
+def test_backbone_pyramid_shapes():
+    net = HITUNet()
+    x = jnp.zeros((1, 64, 128, 3))
+    params = net.init(jax.random.PRNGKey(0), x)
+    feats = net.apply(params, x)
+    shapes = [f.shape for f in feats]
+    assert shapes == [
+        (1, 4, 8, 32), (1, 8, 16, 24), (1, 16, 32, 24),
+        (1, 32, 64, 16), (1, 64, 128, 16),
+    ]
+
+
+@pytest.fixture(scope="module")
+def stereo_model():
+    net = HITNetStereo(max_disp=64)
+    l = jnp.zeros((1, 64, 128, 3))
+    r = jnp.zeros((1, 64, 128, 3))
+    params = net.init(jax.random.PRNGKey(0), l, r)
+    return net, params
+
+
+def test_stereo_eval_forward(stereo_model):
+    net, params = stereo_model
+    rng = np.random.RandomState(1)
+    l = jnp.asarray(rng.rand(1, 64, 128, 3).astype(np.float32))
+    r = jnp.asarray(rng.rand(1, 64, 128, 3).astype(np.float32))
+    out = jax.jit(lambda p, a, b: net.apply(p, a, b))(params, l, r)
+    disp = np.asarray(out["pred_disp"])
+    assert disp.shape == (1, 64, 128, 1)
+    assert (disp >= 0).all() and np.isfinite(disp).all()
+    assert out["left_feat"].shape == (1, 16, 32, 24)
+
+
+def test_stereo_train_forward_pyramids(stereo_model):
+    net, params = stereo_model
+    rng = np.random.RandomState(2)
+    l = jnp.asarray(rng.rand(1, 64, 128, 3).astype(np.float32))
+    r = jnp.asarray(rng.rand(1, 64, 128, 3).astype(np.float32))
+    out = net.apply(params, l, r, train=True)
+    assert len(out["prop_disp_pyramid"]) == 12
+    assert len(out["w_pyramid"]) == 8
+    for p in out["prop_disp_pyramid"]:
+        assert p.shape == (1, 64, 128, 1)
+    assert len(out["init_cv_pyramid"]) == 5
+    assert out["init_cv_pyramid"][0].shape == (1, 1, 2, 4)   # 1/64 res, D=4
+    assert out["init_cv_pyramid"][4].shape == (1, 16, 32, 64)  # 1/4 res, D=64
