@@ -1,0 +1,187 @@
+"""CODD estimator: cascaded stereo -> motion -> fusion over a fixed-shape
+cross-frame memory carry.
+
+TPU re-design of the reference estimator (reference: model/codd.py).  The
+reference threads a mutable python ``state`` dict whose "memory" entry
+switches arity mid-frame (3-tuple from fusion, transient 5-tuple from
+motion).  Here the *persistent* cross-frame state is an explicit, static-
+shape pytree (``CoddCarry``); the transient 5-slot warped memory lives only
+inside a frame step.  One jitted step per frame phase:
+
+    step_first(params, frames)        -> (carry, outputs)    # frame 0
+    step(params, carry, frames)       -> (carry, outputs)    # frames t >= 1
+
+Sequences stream through ``jax.lax.scan`` over the t>=1 step (see
+``run_sequence``), or online by calling the step repeatedly with the carry
+— unlimited-length streaming with O(1) device memory.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from .fusion.fusion import Fusion
+from .motion.motion import Motion
+from .stereo.hitnet import HITNetStereo
+
+__all__ = ["CODD", "CoddCarry"]
+
+
+@struct.dataclass
+class CoddCarry:
+    """Cross-frame memory (reference 3-tuple + RAFT feature cache:
+    codd.py:69-71 / fusion.py:404-410 / raft3d.py:277-278)."""
+
+    memory_img: jnp.ndarray    # (B, H, W, 3)    previous left image
+    memory_feat: jnp.ndarray   # (B, H/4, W/4, fc) previous projected features
+    memory_disp: jnp.ndarray   # (B, H, W)       previous fused disparity
+    fmap: jnp.ndarray          # (B, H/8, W/8, 128) RAFT features (prev frame)
+    netinp: jnp.ndarray        # (B, H/8, W/8, 512) RAFT context (prev frame)
+
+
+def _maybe_stop(tree, stop: bool):
+    if not stop:
+        return tree
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, tree)
+
+
+class CODD(nn.Module):
+    """Consistent online depth network.
+
+    Any of motion/fusion can be disabled (stereo-only and stereo+motion
+    configurations of the reference README).  Freeze flags implement the
+    reference's staged-training recipe by stopping gradients at module
+    boundaries; pair them with optimizer masking for exact parity.
+    """
+
+    max_disp: int = 320
+    iters: int = 16
+    fusion_channel: int = 32
+    use_motion: bool = True
+    use_fusion: bool = True
+    freeze_stereo: bool = False
+    freeze_motion: bool = False
+    freeze_fusion: bool = False
+
+    def setup(self):
+        self.stereo = HITNetStereo(self.max_disp, name="stereo")
+        if self.use_motion:
+            self.motion = Motion(iters=self.iters, name="motion")
+        if self.use_fusion:
+            self.fusion = Fusion(fusion_channel=self.fusion_channel,
+                                 name="fusion")
+
+    # ------------------------------------------------------------------
+    # frame steps
+    # ------------------------------------------------------------------
+
+    def _stereo_forward(self, left, right, train: bool):
+        s_train = train and not self.freeze_stereo
+        out = self.stereo(left, right, train=s_train)
+        return _maybe_stop(out, self.freeze_stereo or not train)
+
+    def _project_feat(self, out, train: bool):
+        if not self.use_fusion:
+            return out["left_feat"]
+        feat = self.fusion.project(out["left_feat"])
+        return _maybe_stop(feat, self.freeze_fusion or not train)
+
+    def first_step(self, left, right, intrinsics, train: bool = False
+                   ) -> Tuple[CoddCarry, Dict[str, Any]]:
+        """Frame 0: stereo + feature caches; no motion/fusion compute."""
+        out = self._stereo_forward(left, right, train)
+        feat_curr = self._project_feat(out, train)
+        if self.use_motion:
+            fmap, netinp = self.motion.encode(left)
+            fmap, netinp = _maybe_stop((fmap, netinp),
+                                       self.freeze_motion or not train)
+        else:
+            B, H, W, _ = left.shape
+            fmap = jnp.zeros((B, H // 8, W // 8, 128), left.dtype)
+            netinp = jnp.zeros((B, H // 8, W // 8, 512), left.dtype)
+        carry = CoddCarry(
+            memory_img=left,
+            memory_feat=feat_curr,
+            memory_disp=out["pred_disp"][..., 0],
+            fmap=fmap,
+            netinp=netinp,
+        )
+        return carry, out
+
+    def step(self, carry: CoddCarry, left, right, intrinsics,
+             train: bool = False) -> Tuple[CoddCarry, Dict[str, Any]]:
+        """Frame t >= 1: full stereo -> motion -> fusion cascade."""
+        out = self._stereo_forward(left, right, train)
+        pred_disp = out["pred_disp"]  # (B,H,W,1)
+
+        if self.use_motion:
+            m_train = train and not self.freeze_motion
+            memory5, raft_out, fmap_curr, netinp_curr = self.motion(
+                left, pred_disp[..., 0],
+                carry.memory_img, carry.memory_feat, carry.memory_disp,
+                carry.fmap, carry.netinp, intrinsics,
+                train_mode=m_train)
+            memory5, raft_out, fmap_curr, netinp_curr = _maybe_stop(
+                (memory5, raft_out, fmap_curr, netinp_curr),
+                self.freeze_motion or not train)
+            img_warp, feat_warp, confidence_warp, disp_warp, flow_warp = memory5
+            out.update(raft_out)
+        else:
+            fmap_curr, netinp_curr = carry.fmap, carry.netinp
+            feat_warp = carry.memory_feat
+            disp_warp = carry.memory_disp
+            img_warp = carry.memory_img
+            B, H, W, _ = left.shape
+            flow_warp = jnp.zeros((B, H, W, 3), left.dtype)
+            confidence_warp = jnp.ones((B, H, W, 3), left.dtype)
+
+        feat_curr = self._project_feat(out, train)
+
+        if self.use_fusion:
+            disp_fused, wf, wr = self.fusion(
+                pred_disp, disp_warp[..., None], feat_curr, feat_warp,
+                flow_warp, confidence_warp,
+                out["left_feat"], out["right_feat"])
+            disp_fused, wf, wr = _maybe_stop(
+                (disp_fused, wf, wr), self.freeze_fusion or not train)
+            out["pred_curr"] = pred_disp
+            out["pred_warp"] = disp_warp[..., None]
+            out["fusion_weights"] = wf
+            out["reset_weights"] = wr
+            out["pred_disp"] = disp_fused
+        # NullFusion semantics otherwise: pred_disp stays the stereo output
+
+        new_carry = CoddCarry(
+            memory_img=left,
+            memory_feat=feat_curr,
+            memory_disp=out["pred_disp"][..., 0],
+            fmap=fmap_curr,
+            netinp=netinp_curr,
+        )
+        return new_carry, out
+
+    # ------------------------------------------------------------------
+    # sequence runners
+    # ------------------------------------------------------------------
+
+    def __call__(self, left_seq, right_seq, intrinsics, train: bool = False):
+        """Unrolled multi-frame forward (used for training clips and init).
+
+        left_seq/right_seq: (B, T, H, W, 3).  Returns the list of per-frame
+        output dicts (loss computation lives outside the module).
+        """
+        T = left_seq.shape[1]
+        outs = []
+        carry, out0 = self.first_step(left_seq[:, 0], right_seq[:, 0],
+                                      intrinsics, train=train)
+        outs.append(out0)
+        for t in range(1, T):
+            carry, out = self.step(carry, left_seq[:, t], right_seq[:, t],
+                                   intrinsics, train=train)
+            outs.append(out)
+        return outs

@@ -1,0 +1,201 @@
+"""RAFT-3D: dense-SE(3) scene flow via iterated Gauss-Newton refinement.
+
+Capability port of the reference motion estimator (reference:
+model/motion/raft3d/raft3d.py).  Per GRU iteration: project the previous
+frame's points through the current transform field, sample the current
+frame's inverse depth, index the correlation pyramid, run the ConvGRU
+update producing (embedding, delta, weight, upsample-mask), then take one
+damped Gauss-Newton step on the SE(3) field (ops.gn — the TPU replacement
+for lietorch_extras).
+
+The transform field is detached at the top of every iteration
+(raft3d.py:225 -> stop_gradient) so gradients flow through each GN step's
+local linearization only.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops import corr as corr_ops
+from ...ops import se3
+from ...ops.gn import gn_step, grad_clip
+from ...ops.grid_sample import grid_sample
+from ...ops.projective import induced_flow, projective_transform
+from ...ops.upsample import cvx_upsample, upsample_se3
+from ...ops.warp import meshgrid_xy
+from ..layers import Conv
+from .encoders import BasicEncoder
+from .hrnet import HRNetSmall, ResizeConcatConv
+
+__all__ = ["RAFT3D", "ConvGRU", "BasicUpdateBlock"]
+
+
+class ConvGRU(nn.Module):
+    """Dual-dilation gated update (reference: blocks/gru.py:9-35)."""
+
+    hidden_dim: int = 128
+    dilation: int = 4
+
+    @nn.compact
+    def __call__(self, h, *inputs):
+        hd, dil = self.hidden_dim, self.dilation
+        iz = ir = iq = 0.0
+        for inp in inputs:
+            iz = iz + inp[..., :hd]
+            ir = ir + inp[..., hd:2 * hd]
+            iq = iq + inp[..., 2 * hd:3 * hd]
+
+        def gate(name):
+            c1 = Conv(hd, 3, padding=1, name=f"{name}1")
+            c2 = Conv(hd, 3, padding=dil, dilation=dil, name=f"{name}2")
+            return c1, c2
+
+        z1, z2 = gate("convz")
+        r1, r2 = gate("convr")
+        q1, q2 = gate("convq")
+        z = jax.nn.sigmoid(z1(h) + z2(h) + iz)
+        r = jax.nn.sigmoid(r1(h) + r2(h) + ir)
+        q = jnp.tanh(q1(r * h) + q2(r * h) + iq)
+        return (1 - z) * h + z * q
+
+
+class BasicUpdateBlock(nn.Module):
+    """GRU + output heads (reference: raft3d.py:44-106)."""
+
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow, dz, twist):
+        motion_info = jnp.concatenate([flow, 10.0 * dz, 10.0 * twist], axis=-1)
+        motion_info = jnp.clip(motion_info, -50.0, 50.0)
+
+        mot = nn.relu(Conv(128, 7, padding=3, name="flow_enc0")(motion_info))
+        mot = Conv(3 * 128, 1, name="flow_enc1")(mot)
+        cor = nn.relu(Conv(256, 3, padding=1, name="corr_enc0")(corr))
+        cor = nn.relu(Conv(256, 3, padding=1, name="corr_enc1")(cor))
+        cor = Conv(3 * 128, 1, name="corr_enc2")(cor)
+
+        net = ConvGRU(self.hidden_dim, name="gru")(net, inp, cor, mot)
+
+        def head(width, out, name, sigmoid=False):
+            x = nn.relu(Conv(width, 3, padding=1, name=f"{name}0")(net))
+            x = Conv(out, 1, name=f"{name}1")(x)
+            if sigmoid:
+                x = jax.nn.sigmoid(x)
+            return grad_clip(x)
+
+        ae = head(256, 32, "ae")
+        delta = head(256, 3, "delta")
+        weight = head(256, 3, "weight", sigmoid=True)
+        mask = head(256, 64 * 9, "mask")
+        return net, mask, ae, delta, weight
+
+
+class RAFT3D(nn.Module):
+    """Dense SE(3) scene-flow estimator.
+
+    Methods:
+      encode(img)  -> (fmap, net_inp): per-frame features cached in the
+                      cross-frame carry (reference: raft3d.py:203-206).
+      __call__(...) -> dict with Ts (full res), flow2d_est_induced, weight,
+                      and per-iteration training pyramids.
+    """
+
+    iters: int = 16
+    corr_levels: int = 4
+    corr_radius: int = 3
+    hidden_dim: int = 128
+
+    def setup(self):
+        self.fnet = BasicEncoder(128, name="fnet")
+        self.cnet = HRNetSmall(name="cnet")
+        self.cnet_out = ResizeConcatConv(128 * 4, name="cnet_out")
+        self.update_block = BasicUpdateBlock(self.hidden_dim, name="update_block")
+
+    def encode(self, image):
+        fmap = self.fnet(image)
+        net_inp = self.cnet_out(self.cnet(image))
+        return fmap, net_inp
+
+    def __call__(
+        self,
+        image_curr: jnp.ndarray,     # (B, H, W, 3)
+        depth_prev: jnp.ndarray,     # (B, H, W)
+        depth_curr: jnp.ndarray,     # (B, H, W)
+        intrinsics: jnp.ndarray,     # (B, 4)
+        fmap_prev: jnp.ndarray,      # (B, H/8, W/8, 128) from prev frame
+        netinp_prev: jnp.ndarray,    # (B, H/8, W/8, 512) from prev frame
+        train_mode: bool = False,
+        iters: Optional[int] = None,
+    ) -> Tuple[Dict[str, Any], jnp.ndarray, jnp.ndarray]:
+        iters = self.iters if iters is None else iters
+        B, H, W, _ = image_curr.shape
+        h8, w8 = H // 8, W // 8
+
+        fmap_curr = self.fnet(image_curr)
+        pyramid = corr_ops.build_corr_pyramid(fmap_prev, fmap_curr,
+                                              self.corr_levels)
+        net = jnp.tanh(netinp_prev[..., :128])
+        inp = nn.relu(netinp_prev[..., 128:])
+
+        intr8 = intrinsics / 8.0
+        depth1_r8 = depth_prev[:, 3::8, 3::8]
+        depth2_r8 = depth_curr[:, 3::8, 3::8]
+        zinv2 = 1.0 / jnp.maximum(depth2_r8, 1e-8)
+
+        x0, y0 = meshgrid_xy(h8, w8, image_curr.dtype)
+        coords0 = jnp.broadcast_to(jnp.stack([x0, y0], -1)[None], (B, h8, w8, 2))
+
+        Ts = se3.identity((B, h8, w8), image_curr.dtype)
+        flow_est_list: List[jnp.ndarray] = []
+        flow_rev_list: List[jnp.ndarray] = []
+        mask = None
+
+        for _ in range(iters):
+            Ts = jax.lax.stop_gradient(Ts)
+
+            coords1_xyz, _ = projective_transform(Ts, depth1_r8, intr8)
+            coords1 = coords1_xyz[..., :2]
+            zinv_proj = coords1_xyz[..., 2:]
+            zinv = grid_sample(zinv2[..., None], coords1, mode="bilinear",
+                               padding_mode="zeros")
+
+            corr = corr_ops.corr_lookup(pyramid, coords1, self.corr_radius)
+            flow = coords1 - coords0
+            dz = zinv - zinv_proj
+            twist = se3.log(Ts)
+
+            net, mask, ae, delta, weight = self.update_block(
+                net, inp, corr, flow, dz, twist)
+
+            target = coords1_xyz + delta
+            Ts = gn_step(Ts, ae, target, weight, depth1_r8, intr8)
+
+            if train_mode:
+                flow2d_rev = target[..., :2] - coords0
+                flow_rev_list.append(cvx_upsample(8.0 * flow2d_rev, mask))
+                Ts_up_i = upsample_se3(Ts, mask)
+                flow2d_est, _, _ = induced_flow(Ts_up_i, depth_prev, intrinsics)
+                flow_est_list.append(flow2d_est)
+
+        Ts_up = upsample_se3(Ts, mask)
+        flow2d_est_induced, _, _ = induced_flow(Ts_up, depth_prev, intrinsics)
+        weight_up = cvx_upsample(weight, mask)
+
+        out = {
+            "Ts": Ts_up,                                # (B, H, W, 7)
+            "flow2d_est_induced": flow2d_est_induced,   # (B, H, W, 3)
+            "weight": weight_up,                        # (B, H, W, 3)
+        }
+        if train_mode:
+            out["flow2d_est"] = flow_est_list
+            out["flow2d_rev"] = flow_rev_list
+
+        # fresh features for the next frame's carry (raft3d.py:277-278)
+        netinp_curr = self.cnet_out(self.cnet(image_curr))
+        return out, fmap_curr, netinp_curr

@@ -1,7 +1,10 @@
-"""Test harness: force an 8-device virtual CPU mesh before jax import.
+"""Test harness: force an 8-device virtual CPU mesh.
 
-All tests run on CPU so they are hermetic on any host; multi-device tests
-use the forced host platform device count (cf. driver dryrun contract).
+The driver environment exports ``JAX_PLATFORMS=axon`` (real TPU via a
+tunnel) and the axon plugin re-asserts itself at import time, so setting
+the env var alone is not enough — we must also update the jax config
+before any backend is initialized.  All tests then run on 8 virtual CPU
+devices, hermetically and fast.
 """
 
 import os
@@ -12,3 +15,7 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
