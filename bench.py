@@ -1,0 +1,90 @@
+"""Throughput benchmark — the reference benchmark_speed.py equivalent,
+run at KITTI resolution on the real chip.
+
+Reference protocol (benchmark_speed.py:36-65): synthetic input, warmup,
+timed loop, prints overall FPS.  Note the reference resets state every call
+so it only ever measures the frame-0 path; we report the *streaming* frame
+step (full stereo -> motion -> fusion cascade, the honest online metric)
+as the headline number.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 60 FPS/chip at KITTI 1242x375 (BASELINE.md driver target).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=384)   # 375 padded to /64
+    p.add_argument("--width", type=int, default=1280)   # 1242 padded to /64
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--gn-iters", type=int, default=16)
+    p.add_argument("--max-disp", type=int, default=320)
+    p.add_argument("--mode", choices=["streaming", "frame0"],
+                   default="streaming")
+    args = p.parse_args()
+
+    from codd_tpu.models.codd import CODD
+
+    H, W = args.height, args.width
+    model = CODD(max_disp=args.max_disp, iters=args.gn_iters)
+    rng = np.random.RandomState(0)
+    left = jnp.asarray(rng.rand(1, 2, H, W, 3).astype(np.float32))
+    right = jnp.asarray(rng.rand(1, 2, H, W, 3).astype(np.float32))
+    intr = jnp.asarray([[450.0, 450.0, W / 2.0, H / 2.0]], jnp.float32)
+
+    # params are resolution-independent (all-conv): init at a small size to
+    # keep the init trace cheap, then apply at the benchmark resolution
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 2, 64, 128, 3)), jnp.zeros((1, 2, 64, 128, 3)),
+        jnp.asarray([[450.0, 450.0, 64.0, 32.0]], jnp.float32))
+
+    first = jax.jit(lambda p, l, r, k: model.apply(p, l, r, k,
+                                                   method=CODD.first_step))
+    step = jax.jit(lambda p, c, l, r, k: model.apply(p, c, l, r, k,
+                                                     method=CODD.step),
+                   donate_argnums=(1,))
+
+    carry, _ = first(params, left[:, 0], right[:, 0], intr)
+    carry = jax.block_until_ready(carry)
+
+    if args.mode == "frame0":
+        def run(c):
+            nc, out = first(params, left[:, 1], right[:, 1], intr)
+            return nc, out["pred_disp"]
+    else:
+        def run(c):
+            nc, out = step(params, c, left[:, 1], right[:, 1], intr)
+            return nc, out["pred_disp"]
+
+    for _ in range(args.warmup):
+        carry, disp = run(carry)
+    jax.block_until_ready(disp)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        carry, disp = run(carry)
+    jax.block_until_ready(disp)
+    dt = time.perf_counter() - t0
+
+    fps = args.iters / dt
+    print(json.dumps({
+        "metric": f"fps_{args.mode}_kitti_{H}x{W}",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 60.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
