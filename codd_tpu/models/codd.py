@@ -8,12 +8,17 @@ motion).  Here the *persistent* cross-frame state is an explicit, static-
 shape pytree (``CoddCarry``); the transient 5-slot warped memory lives only
 inside a frame step.  One jitted step per frame phase:
 
-    step_first(params, frames)        -> (carry, outputs)    # frame 0
-    step(params, carry, frames)       -> (carry, outputs)    # frames t >= 1
+    first_step(params, frames)        -> (carry, outputs)   # frame 0
+    step(params, carry, frames)       -> (carry, outputs)   # frames t >= 1
 
 Sequences stream through ``jax.lax.scan`` over the t>=1 step (see
-``run_sequence``), or online by calling the step repeatedly with the carry
-— unlimited-length streaming with O(1) device memory.
+apis/evaluation.py), or online by calling the step repeatedly — unlimited-
+length streaming with O(1) device memory.
+
+Swap-ability (reference README.md:66-87): ``motion_type`` in {"Motion",
+"GTMotion", "none"}; ``fusion_type`` in {"Fusion", "NullFusion",
+"GTFusion", "KalmanFusion", "none"}.  Oracle variants consume ground truth
+through the optional ``gt`` argument of ``step``.
 """
 
 from __future__ import annotations
@@ -26,7 +31,9 @@ from flax import linen as nn
 from flax import struct
 
 from .fusion.fusion import Fusion
+from .fusion.others import gt_fusion, kalman_fusion
 from .motion.motion import Motion
+from .motion.others import gt_motion
 from .stereo.hitnet import HITNetStereo
 
 __all__ = ["CODD", "CoddCarry"]
@@ -38,10 +45,11 @@ class CoddCarry:
     codd.py:69-71 / fusion.py:404-410 / raft3d.py:277-278)."""
 
     memory_img: jnp.ndarray    # (B, H, W, 3)    previous left image
-    memory_feat: jnp.ndarray   # (B, H/4, W/4, fc) previous projected features
+    memory_feat: jnp.ndarray   # (B, H/4, W/4, C) previous (projected) features
     memory_disp: jnp.ndarray   # (B, H, W)       previous fused disparity
     fmap: jnp.ndarray          # (B, H/8, W/8, 128) RAFT features (prev frame)
     netinp: jnp.ndarray        # (B, H/8, W/8, 512) RAFT context (prev frame)
+    kalman_p: jnp.ndarray      # (B, H, W, 1) Kalman covariance (KalmanFusion)
 
 
 def _maybe_stop(tree, stop: bool):
@@ -53,26 +61,34 @@ def _maybe_stop(tree, stop: bool):
 class CODD(nn.Module):
     """Consistent online depth network.
 
-    Any of motion/fusion can be disabled (stereo-only and stereo+motion
-    configurations of the reference README).  Freeze flags implement the
-    reference's staged-training recipe by stopping gradients at module
-    boundaries; pair them with optimizer masking for exact parity.
+    Freeze flags implement the reference's staged-training recipe by
+    stopping gradients at module boundaries; pair them with optimizer
+    masking for exact parity.
     """
 
     max_disp: int = 320
     iters: int = 16
     fusion_channel: int = 32
-    use_motion: bool = True
-    use_fusion: bool = True
+    stereo_feat_channels: int = 24
+    motion_type: str = "Motion"
+    fusion_type: str = "Fusion"
     freeze_stereo: bool = False
     freeze_motion: bool = False
     freeze_fusion: bool = False
 
+    @property
+    def has_motion_net(self):
+        return self.motion_type == "Motion"
+
+    @property
+    def has_fusion_net(self):
+        return self.fusion_type == "Fusion"
+
     def setup(self):
         self.stereo = HITNetStereo(self.max_disp, name="stereo")
-        if self.use_motion:
+        if self.has_motion_net:
             self.motion = Motion(iters=self.iters, name="motion")
-        if self.use_fusion:
+        if self.has_fusion_net:
             self.fusion = Fusion(fusion_channel=self.fusion_channel,
                                  name="fusion")
 
@@ -86,7 +102,9 @@ class CODD(nn.Module):
         return _maybe_stop(out, self.freeze_stereo or not train)
 
     def _project_feat(self, out, train: bool):
-        if not self.use_fusion:
+        """Memory features: key_layer projection with a fusion net, raw
+        stereo features otherwise (NullFusion semantics, others.py:30-36)."""
+        if not self.has_fusion_net:
             return out["left_feat"]
         feat = self.fusion.project(out["left_feat"])
         return _maybe_stop(feat, self.freeze_fusion or not train)
@@ -96,12 +114,12 @@ class CODD(nn.Module):
         """Frame 0: stereo + feature caches; no motion/fusion compute."""
         out = self._stereo_forward(left, right, train)
         feat_curr = self._project_feat(out, train)
-        if self.use_motion:
+        B, H, W, _ = left.shape
+        if self.has_motion_net:
             fmap, netinp = self.motion.encode(left)
             fmap, netinp = _maybe_stop((fmap, netinp),
                                        self.freeze_motion or not train)
         else:
-            B, H, W, _ = left.shape
             fmap = jnp.zeros((B, H // 8, W // 8, 128), left.dtype)
             netinp = jnp.zeros((B, H // 8, W // 8, 512), left.dtype)
         carry = CoddCarry(
@@ -110,16 +128,24 @@ class CODD(nn.Module):
             memory_disp=out["pred_disp"][..., 0],
             fmap=fmap,
             netinp=netinp,
+            kalman_p=jnp.zeros((B, H, W, 1), left.dtype),
         )
         return carry, out
 
     def step(self, carry: CoddCarry, left, right, intrinsics,
-             train: bool = False) -> Tuple[CoddCarry, Dict[str, Any]]:
-        """Frame t >= 1: full stereo -> motion -> fusion cascade."""
+             train: bool = False, gt: Optional[Dict[str, jnp.ndarray]] = None
+             ) -> Tuple[CoddCarry, Dict[str, Any]]:
+        """Frame t >= 1: full stereo -> motion -> fusion cascade.
+
+        ``gt`` supplies per-frame ground truth for the oracle variants:
+        GTMotion needs gt_flow/gt_disp_change/gt_flow_occ; GTFusion needs
+        gt_disp.
+        """
         out = self._stereo_forward(left, right, train)
         pred_disp = out["pred_disp"]  # (B,H,W,1)
+        B, H, W, _ = left.shape
 
-        if self.use_motion:
+        if self.motion_type == "Motion":
             m_train = train and not self.freeze_motion
             memory5, raft_out, fmap_curr, netinp_curr = self.motion(
                 left, pred_disp[..., 0],
@@ -131,18 +157,25 @@ class CODD(nn.Module):
                 self.freeze_motion or not train)
             img_warp, feat_warp, confidence_warp, disp_warp, flow_warp = memory5
             out.update(raft_out)
-        else:
+        elif self.motion_type == "GTMotion":
+            memory5, Ts = gt_motion(
+                carry.memory_img, carry.memory_feat, carry.memory_disp,
+                gt["gt_flow"], gt["gt_disp_change"], gt["gt_flow_occ"])
+            img_warp, feat_warp, confidence_warp, disp_warp, flow_warp = memory5
+            out["Ts"] = Ts
+            fmap_curr, netinp_curr = carry.fmap, carry.netinp
+        else:  # no motion: memory passes through unwarped
             fmap_curr, netinp_curr = carry.fmap, carry.netinp
             feat_warp = carry.memory_feat
             disp_warp = carry.memory_disp
             img_warp = carry.memory_img
-            B, H, W, _ = left.shape
             flow_warp = jnp.zeros((B, H, W, 3), left.dtype)
             confidence_warp = jnp.ones((B, H, W, 3), left.dtype)
 
         feat_curr = self._project_feat(out, train)
+        kalman_p = carry.kalman_p
 
-        if self.use_fusion:
+        if self.fusion_type == "Fusion":
             disp_fused, wf, wr = self.fusion(
                 pred_disp, disp_warp[..., None], feat_curr, feat_warp,
                 flow_warp, confidence_warp,
@@ -154,7 +187,18 @@ class CODD(nn.Module):
             out["fusion_weights"] = wf
             out["reset_weights"] = wr
             out["pred_disp"] = disp_fused
-        # NullFusion semantics otherwise: pred_disp stays the stereo output
+        elif self.fusion_type == "GTFusion":
+            fused = gt_fusion(pred_disp, disp_warp[..., None], gt["gt_disp"])
+            out["pred_curr"] = pred_disp
+            out["pred_warp"] = disp_warp[..., None]
+            out["pred_disp"] = fused
+        elif self.fusion_type == "KalmanFusion":
+            fused, kalman_p = kalman_fusion(pred_disp, disp_warp[..., None],
+                                            carry.kalman_p)
+            out["pred_curr"] = pred_disp
+            out["pred_warp"] = disp_warp[..., None]
+            out["pred_disp"] = fused
+        # NullFusion / none: pred_disp stays the stereo output
 
         new_carry = CoddCarry(
             memory_img=left,
@@ -162,6 +206,7 @@ class CODD(nn.Module):
             memory_disp=out["pred_disp"][..., 0],
             fmap=fmap_curr,
             netinp=netinp_curr,
+            kalman_p=kalman_p,
         )
         return new_carry, out
 
@@ -169,7 +214,8 @@ class CODD(nn.Module):
     # sequence runners
     # ------------------------------------------------------------------
 
-    def __call__(self, left_seq, right_seq, intrinsics, train: bool = False):
+    def __call__(self, left_seq, right_seq, intrinsics, train: bool = False,
+                 gt_seq: Optional[Dict[str, jnp.ndarray]] = None):
         """Unrolled multi-frame forward (used for training clips and init).
 
         left_seq/right_seq: (B, T, H, W, 3).  Returns the list of per-frame
@@ -181,7 +227,9 @@ class CODD(nn.Module):
                                       intrinsics, train=train)
         outs.append(out0)
         for t in range(1, T):
+            gt = (None if gt_seq is None else
+                  {k: v[:, t] for k, v in gt_seq.items()})
             carry, out = self.step(carry, left_seq[:, t], right_seq[:, t],
-                                   intrinsics, train=train)
+                                   intrinsics, train=train, gt=gt)
             outs.append(out)
         return outs

@@ -60,7 +60,7 @@ def test_streaming_carry_matches_unrolled(codd_setup):
 
 
 def test_stereo_only_config():
-    model = CODD(max_disp=64, use_motion=False, use_fusion=False)
+    model = CODD(max_disp=64, motion_type="none", fusion_type="none")
     rng = np.random.RandomState(1)
     left = jnp.asarray(rng.rand(1, 2, 64, 128, 3).astype(np.float32))
     right = jnp.asarray(rng.rand(1, 2, 64, 128, 3).astype(np.float32))
