@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Speed benchmark CLI (reference benchmark_speed.py equivalent).
+
+Reference protocol (benchmark_speed.py:36-65): build the model from a model
+config, feed synthetic 512x640 frames, 200 timed iterations after 5 warmup,
+print "Overall fps".  Because the reference resets state every call, its
+number measures the frame-0 path only; pass --streaming for the honest
+full-cascade per-frame throughput (also the metric bench.py reports).
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("config", nargs="?", default="configs/models/codd.py")
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--iters", type=int, default=200)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--streaming", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from codd_tpu.config import load_config
+    from codd_tpu.models.builder import build_estimator
+    from codd_tpu.models.codd import CODD
+
+    cfg = load_config(args.config)
+    model = build_estimator(cfg["model"])
+    H, W = args.height, args.width
+    rng = np.random.RandomState(0)
+    l = jnp.asarray(rng.rand(1, 2, H, W, 3).astype(np.float32))
+    r = jnp.asarray(rng.rand(1, 2, H, W, 3).astype(np.float32))
+    intr = jnp.asarray([[450.0, 450.0, W / 2, H / 2]], jnp.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 64, 128, 3)),
+        jnp.zeros((1, 2, 64, 128, 3)),
+        jnp.asarray([[450.0, 450.0, 64.0, 32.0]], jnp.float32))
+
+    first = jax.jit(lambda p, a, b, k: model.apply(p, a, b, k,
+                                                   method=CODD.first_step))
+    step = jax.jit(lambda p, c, a, b, k: model.apply(p, c, a, b, k,
+                                                     method=CODD.step))
+
+    carry, out = first(params, l[:, 0], r[:, 0], intr)
+    if args.streaming:
+        run = lambda c: step(params, c, l[:, 1], r[:, 1], intr)
+    else:
+        run = lambda c: first(params, l[:, 1], r[:, 1], intr)
+
+    for _ in range(args.warmup):
+        carry, out = run(carry)
+    jax.block_until_ready(out["pred_disp"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        carry, out = run(carry)
+    jax.block_until_ready(out["pred_disp"])
+    dt = time.perf_counter() - t0
+    print(f"Overall fps: {args.iters / dt:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Model factory: reference-style config dicts -> CODD estimator.
+
+Keeps the reference's swap-ability promise (README.md:66-87): the model
+config nests ``stereo`` / ``motion`` / ``fusion`` dicts whose ``type``
+fields name the module variants; any of motion/fusion may be omitted.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+from ..losses.assembly import LossConfig
+from .codd import CODD
+
+__all__ = ["build_estimator", "build_loss_config"]
+
+_MOTION_TYPES = {"Motion": "Motion", "GTMotion": "GTMotion", None: "none"}
+_FUSION_TYPES = {"Fusion": "Fusion", "NullFusion": "NullFusion",
+                 "GTFusion": "GTFusion", "KalmanFusion": "KalmanFusion",
+                 None: "none"}
+
+
+def build_estimator(model_cfg: Dict[str, Any]) -> CODD:
+    stereo = model_cfg.get("stereo") or {}
+    motion = model_cfg.get("motion")
+    fusion = model_cfg.get("fusion")
+    train_cfg = model_cfg.get("train_cfg") or {}
+
+    max_disp = (stereo.get("initialization", {}).get("max_disp")
+                or stereo.get("max_disp") or 320)
+    mtype = _MOTION_TYPES[motion.get("type", "Motion") if motion else None]
+    ftype = _FUSION_TYPES[fusion.get("type", "Fusion") if fusion else None]
+
+    return CODD(
+        max_disp=int(max_disp),
+        iters=int(motion.get("iters", 16)) if motion else 16,
+        fusion_channel=int(fusion.get("fusion_channel", 32)) if fusion else 32,
+        motion_type=mtype,
+        fusion_type=ftype,
+        freeze_stereo=bool(train_cfg.get("freeze_stereo", False)),
+        freeze_motion=bool(train_cfg.get("freeze_motion", False)),
+        freeze_fusion=bool(train_cfg.get("freeze_fusion", False)),
+    )
+
+
+def build_loss_config(model_cfg: Dict[str, Any],
+                      disp_range=(1.0, 210.0)) -> LossConfig:
+    stereo = model_cfg.get("stereo") or {}
+    motion = model_cfg.get("motion")
+    fusion = model_cfg.get("fusion")
+    train_cfg = model_cfg.get("train_cfg") or {}
+    sloss = stereo.get("loss") or {}
+    mloss = (motion or {}).get("loss") or {}
+    floss = (fusion or {}).get("loss") or {}
+    max_disp = (stereo.get("initialization", {}).get("max_disp")
+                or stereo.get("max_disp") or 320)
+    return LossConfig(
+        max_disp=int(max_disp),
+        disp_range=tuple(disp_range),
+        stereo=not train_cfg.get("freeze_stereo", False),
+        motion=(motion is not None and motion.get("type") == "Motion"
+                and not train_cfg.get("freeze_motion", False)),
+        fusion=(fusion is not None and fusion.get("type") == "Fusion"
+                and not train_cfg.get("freeze_fusion", False)),
+        motion_loss_weight=float(mloss.get("loss_weight", 1.0)),
+        fusion_loss_weight=float(floss.get("loss_weight", 1.0)),
+        wr_weight=float(floss.get("wr_weight", 1.0)),
+        wf_weight=float(floss.get("wf_weight", 1.0)),
+        alpha=float(sloss.get("alpha", 0.9)),
+        c=float(sloss.get("c", 0.1)),
+    )

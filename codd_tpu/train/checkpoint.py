@@ -46,9 +46,8 @@ def restore_checkpoint(path: str, state):
                          step=restored["step"])
 
 
-def restore_params(path: str, params):
-    """Weights-only restore (reference --load-from)."""
-    restored = _ckptr().restore(
-        os.path.abspath(path), item={"params": params, "opt_state": None,
-                                     "step": None})
+def restore_params(path: str, params=None):
+    """Weights-only restore (reference --load-from).  ``params`` is only a
+    structural template; the on-disk optimizer state is ignored."""
+    restored = _ckptr().restore(os.path.abspath(path))
     return restored["params"]

@@ -49,9 +49,12 @@ def make_train_step(
     """
 
     def step_fn(state: TrainState, batch):
+        gt_seq = {k: v for k, v in batch.items() if k.startswith("gt_")}
+
         def loss_fn(params):
             outs = model.apply(params, batch["l_img"], batch["r_img"],
-                               batch["intrinsics"], train=True)
+                               batch["intrinsics"], train=True,
+                               gt_seq=gt_seq or None)
             return codd_train_loss(loss_cfg, outs, batch)
 
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(

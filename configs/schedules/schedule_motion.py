@@ -1,0 +1,11 @@
+# Motion training: OneCycle 2e-4, 200k/8 iters
+# (reference configs/schedules/schedule_motion.py)
+gpu_factor = 8
+schedule = dict(
+    kind="one_cycle",
+    base_lr=2e-4,
+    total_steps=200000 // gpu_factor,
+    grad_clip=1.0,
+)
+evaluation = dict(interval=5000 // gpu_factor)
+checkpoint = dict(interval=5000 // gpu_factor)

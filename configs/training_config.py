@@ -1,0 +1,7 @@
+# Default training entry config (reference configs/training_config.py)
+_base_ = [
+    "models/codd.py",
+    "datasets/scene_flow.py",
+    "default_runtime.py",
+    "schedules/schedule_stereo.py",
+]
