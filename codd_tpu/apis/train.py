@@ -128,6 +128,9 @@ def train_estimator(
     log_interval = int(cfg.get("runtime", {}).get("log_interval", 50))
     ckpt_interval = int(cfg.get("checkpoint", {}).get("interval", 5000))
 
+    from ..utils.logging import MetricLogger
+    mlog = MetricLogger(work_dir)
+
     t0 = time.time()
     start = int(state.step)
     with mesh:
@@ -144,9 +147,11 @@ def train_estimator(
                 log(f"step {step}/{total_steps} loss={loss:.4f} "
                     f"lr={lr:.2e} it/s={ips:.2f} "
                     f"grad_norm={float(logs['grad_norm']):.3f}")
+                mlog.log(step, {**logs, "lr": lr, "it_per_s": ips})
             if step % ckpt_interval == 0 or step == total_steps:
                 path = save_checkpoint(
                     os.path.join(work_dir, f"ckpt_{step}"), state,
                     meta={"step": step, "config": dict(cfg)})
                 log(f"saved {path}")
+    mlog.close()
     return state
