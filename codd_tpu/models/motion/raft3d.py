@@ -8,9 +8,16 @@ update producing (embedding, delta, weight, upsample-mask), then take one
 damped Gauss-Newton step on the SE(3) field (ops.gn — the TPU replacement
 for lietorch_extras).
 
-The transform field is detached at the top of every iteration
-(raft3d.py:225 -> stop_gradient) so gradients flow through each GN step's
-local linearization only.
+TPU structure notes:
+  * the refinement loop is an ``nn.scan`` over a single iteration module
+    (params broadcast) — one trace instead of 16 unrolled copies, which
+    keeps XLA compile time sane and lets the scheduler pipeline iterations;
+  * per-iteration training outputs are emitted as *low-res* scan ys and
+    upsampled outside the loop with one vmap; in eval they are dead code
+    and jaxpr DCE removes them entirely;
+  * the transform field is detached at the top of every iteration
+    (raft3d.py:225 -> stop_gradient) so gradients flow through each GN
+    step's local linearization only.
 """
 
 from __future__ import annotations
@@ -96,6 +103,41 @@ class BasicUpdateBlock(nn.Module):
         return net, mask, ae, delta, weight
 
 
+class GNIteration(nn.Module):
+    """One GRU + Gauss-Newton refinement step (scan body)."""
+
+    hidden_dim: int = 128
+    corr_radius: int = 3
+
+    @nn.compact
+    def __call__(self, carry, _):
+        (net, Ts, mask, weight, inp, pyramid, depth1_r8, zinv2, intr8,
+         coords0) = carry
+        Ts = jax.lax.stop_gradient(Ts)
+
+        coords1_xyz, _ = projective_transform(Ts, depth1_r8, intr8)
+        coords1 = coords1_xyz[..., :2]
+        zinv_proj = coords1_xyz[..., 2:]
+        zinv = grid_sample(zinv2[..., None], coords1, mode="bilinear",
+                           padding_mode="zeros")
+
+        corr = corr_ops.corr_lookup(pyramid, coords1, self.corr_radius)
+        flow = coords1 - coords0
+        dz = zinv - zinv_proj
+        twist = se3.log(Ts)
+
+        net, mask, ae, delta, weight = BasicUpdateBlock(
+            self.hidden_dim, name="update_block")(net, inp, corr, flow, dz,
+                                                  twist)
+        target = coords1_xyz + delta
+        Ts = gn_step(Ts, ae, target, weight, depth1_r8, intr8)
+
+        new_carry = (net, Ts, mask, weight, inp, pyramid, depth1_r8, zinv2,
+                     intr8, coords0)
+        ys = {"rev": target[..., :2] - coords0, "mask": mask, "Ts": Ts}
+        return new_carry, ys
+
+
 class RAFT3D(nn.Module):
     """Dense SE(3) scene-flow estimator.
 
@@ -115,7 +157,14 @@ class RAFT3D(nn.Module):
         self.fnet = BasicEncoder(128, name="fnet")
         self.cnet = HRNetSmall(name="cnet")
         self.cnet_out = ResizeConcatConv(128 * 4, name="cnet_out")
-        self.update_block = BasicUpdateBlock(self.hidden_dim, name="update_block")
+        ScanIter = nn.scan(
+            GNIteration,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=self.iters,
+        )
+        self.gn_scan = ScanIter(hidden_dim=self.hidden_dim,
+                                corr_radius=self.corr_radius, name="gn_iter")
 
     def encode(self, image):
         fmap = self.fnet(image)
@@ -131,9 +180,7 @@ class RAFT3D(nn.Module):
         fmap_prev: jnp.ndarray,      # (B, H/8, W/8, 128) from prev frame
         netinp_prev: jnp.ndarray,    # (B, H/8, W/8, 512) from prev frame
         train_mode: bool = False,
-        iters: Optional[int] = None,
     ) -> Tuple[Dict[str, Any], jnp.ndarray, jnp.ndarray]:
-        iters = self.iters if iters is None else iters
         B, H, W, _ = image_curr.shape
         h8, w8 = H // 8, W // 8
 
@@ -151,37 +198,13 @@ class RAFT3D(nn.Module):
         x0, y0 = meshgrid_xy(h8, w8, image_curr.dtype)
         coords0 = jnp.broadcast_to(jnp.stack([x0, y0], -1)[None], (B, h8, w8, 2))
 
-        Ts = se3.identity((B, h8, w8), image_curr.dtype)
-        flow_est_list: List[jnp.ndarray] = []
-        flow_rev_list: List[jnp.ndarray] = []
-        mask = None
-
-        for _ in range(iters):
-            Ts = jax.lax.stop_gradient(Ts)
-
-            coords1_xyz, _ = projective_transform(Ts, depth1_r8, intr8)
-            coords1 = coords1_xyz[..., :2]
-            zinv_proj = coords1_xyz[..., 2:]
-            zinv = grid_sample(zinv2[..., None], coords1, mode="bilinear",
-                               padding_mode="zeros")
-
-            corr = corr_ops.corr_lookup(pyramid, coords1, self.corr_radius)
-            flow = coords1 - coords0
-            dz = zinv - zinv_proj
-            twist = se3.log(Ts)
-
-            net, mask, ae, delta, weight = self.update_block(
-                net, inp, corr, flow, dz, twist)
-
-            target = coords1_xyz + delta
-            Ts = gn_step(Ts, ae, target, weight, depth1_r8, intr8)
-
-            if train_mode:
-                flow2d_rev = target[..., :2] - coords0
-                flow_rev_list.append(cvx_upsample(8.0 * flow2d_rev, mask))
-                Ts_up_i = upsample_se3(Ts, mask)
-                flow2d_est, _, _ = induced_flow(Ts_up_i, depth_prev, intrinsics)
-                flow_est_list.append(flow2d_est)
+        Ts0 = se3.identity((B, h8, w8), image_curr.dtype)
+        mask0 = jnp.zeros((B, h8, w8, 64 * 9), image_curr.dtype)
+        weight0 = jnp.zeros((B, h8, w8, 3), image_curr.dtype)
+        carry0 = (net, Ts0, mask0, weight0, inp, pyramid, depth1_r8, zinv2,
+                  intr8, coords0)
+        carry, ys = self.gn_scan(carry0, None)
+        _, Ts, mask, weight = carry[:4]
 
         Ts_up = upsample_se3(Ts, mask)
         flow2d_est_induced, _, _ = induced_flow(Ts_up, depth_prev, intrinsics)
@@ -193,8 +216,16 @@ class RAFT3D(nn.Module):
             "weight": weight_up,                        # (B, H, W, 3)
         }
         if train_mode:
-            out["flow2d_est"] = flow_est_list
-            out["flow2d_rev"] = flow_rev_list
+            # per-iteration supervision pyramids, upsampled outside the loop
+            def per_iter(y):
+                rev = cvx_upsample(8.0 * y["rev"], y["mask"])
+                Ts_i = upsample_se3(y["Ts"], y["mask"])
+                est, _, _ = induced_flow(Ts_i, depth_prev, intrinsics)
+                return est, rev
+
+            est_seq, rev_seq = jax.vmap(per_iter)(ys)
+            out["flow2d_est"] = [est_seq[i] for i in range(self.iters)]
+            out["flow2d_rev"] = [rev_seq[i] for i in range(self.iters)]
 
         # fresh features for the next frame's carry (raft3d.py:277-278)
         netinp_curr = self.cnet_out(self.cnet(image_curr))
