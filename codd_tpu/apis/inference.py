@@ -100,7 +100,14 @@ def run_inference(
     show_fn = _make_show_fn(model) if show_dir else None
     stats = RunningStatsWithBuffer(path=out_csv)
 
-    for i in range(len(dataset)):
+    # multi-host: shard sequences by process (reference rank/world_size
+    # dataset split, inference.py:101-103); each host pushes its own rows
+    # and the hosts' CSVs merge by `+` (RunningStatsWithBuffer.__add__)
+    host, n_hosts = jax.process_index(), jax.process_count()
+    if n_hosts > 1 and out_csv:
+        stats.path = out_csv + f".rank{host}"
+
+    for i in range(host, len(dataset), n_hosts):
         sample = dataset[i]
         batch = _to_batch(sample)
         name = sample["meta"]["filename"]

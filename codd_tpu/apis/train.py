@@ -131,6 +131,25 @@ def train_estimator(
     from ..utils.logging import MetricLogger
     mlog = MetricLogger(work_dir)
 
+    # validation-during-training (reference EvalHook, apis/train.py:90-96)
+    eval_interval = int(cfg.get("evaluation", {}).get("interval", 0) or 0)
+    val_cfg = cfg.get("data", {}).get("val")
+    _val = {"dataset": None}
+
+    def run_validation(params, step):
+        if not eval_interval or not val_cfg:
+            return
+        try:
+            if _val["dataset"] is None:
+                _val["dataset"] = build_dataset_from_cfg(dict(val_cfg),
+                                                         train=False)
+            from .inference import run_inference
+            metrics = run_inference(model, params, _val["dataset"],
+                                    evaluate=True, log=log)
+            mlog.log(step, {f"val/{k}": v for k, v in metrics.items()})
+        except (OSError, FileNotFoundError) as e:
+            log(f"validation skipped: {e}")
+
     t0 = time.time()
     start = int(state.step)
     with mesh:
@@ -153,5 +172,7 @@ def train_estimator(
                     os.path.join(work_dir, f"ckpt_{step}"), state,
                     meta={"step": step, "config": dict(cfg)})
                 log(f"saved {path}")
+            if eval_interval and step % eval_interval == 0:
+                run_validation(state.params, step)
     mlog.close()
     return state

@@ -72,8 +72,12 @@ def group_clips(entries: List[dict], num_frames: int, pattern: str,
 
 
 def _load_image(path: str) -> np.ndarray:
-    import imageio.v2 as imageio
-    img = np.asarray(imageio.imread(path)).astype(np.float32)
+    from . import native
+    img = native.decode(path)
+    if img is None:
+        import imageio.v2 as imageio
+        img = np.asarray(imageio.imread(path))
+    img = np.asarray(img, np.float32)
     if img.ndim == 2:
         img = np.stack([img] * 3, -1)
     return img[..., :3]

@@ -27,6 +27,12 @@ __all__ = [
 
 
 def _imread(path):
+    """PNG read: native decoder first (GIL-free C++), imageio fallback."""
+    from . import native
+    arr = native.decode(path)
+    if arr is not None:
+        # native returns float32 raw samples; keep integer semantics
+        return arr
     import imageio.v2 as imageio
     return np.asarray(imageio.imread(path))
 

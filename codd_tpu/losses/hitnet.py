@@ -187,3 +187,53 @@ def hit_loss(
         "w_loss": w_sum / jnp.maximum(w_cnt, 1.0),
     }
     return total, logs
+
+
+def hit_loss_with_depth(
+    cfg: HITLossConfig,
+    init_cv_pyramid, prop_disp_pyramid, dx_pyramid, dy_pyramid, w_pyramid,
+    d_gt, seg_gt=None,
+    calib: float = 1.0, eps: float = 1e-8,
+    lambda_depth: float = 1.0, lambda_depth_grad: float = 1.0,
+    lambda_depth_normal: float = 1.0,
+):
+    """HITLoss + log-depth, depth-gradient and surface-normal terms
+    (reference hitnet.py:293-352, HITLossWithDepth)."""
+    total, logs = hit_loss(cfg, init_cv_pyramid, prop_disp_pyramid,
+                           dx_pyramid, dy_pyramid, w_pyramid, d_gt, seg_gt)
+    logs = dict(logs)
+    logs["hitnet_loss"] = total
+
+    pred_disp = prop_disp_pyramid[-1]
+    pred_depth = calib / (pred_disp + eps)
+    target_depth = calib / (d_gt + eps)
+    mask = (d_gt > 0) & (d_gt < cfg.max_disp)
+
+    def comp_err(a, b):
+        return jnp.log1p(jnp.abs(a - b))
+
+    from ..ops.metrics import masked_mean
+
+    depth_loss = lambda_depth * masked_mean(comp_err(pred_depth, target_depth),
+                                            mask)
+    logs["depth_loss"] = depth_loss
+    total = total + depth_loss
+
+    if lambda_depth_grad > 0 or lambda_depth_normal > 0:
+        pm = pred_depth * mask
+        tm = target_depth * mask
+        pdx, pdy = _conv9x9(pm, _KX), _conv9x9(pm, _KY)
+        tdx, tdy = _conv9x9(tm, _KX), _conv9x9(tm, _KY)
+        grad_loss = (masked_mean(comp_err(pdx, tdx), mask)
+                     + masked_mean(comp_err(pdy, tdy), mask))
+        pn = jnp.concatenate([-pdx, -pdy, jnp.ones_like(pdx)], -1)
+        tn = jnp.concatenate([-tdx, -tdy, jnp.ones_like(tdx)], -1)
+        cos = jnp.sum(pn * tn, -1, keepdims=True) / (
+            jnp.linalg.norm(pn, axis=-1, keepdims=True)
+            * jnp.linalg.norm(tn, axis=-1, keepdims=True) + eps)
+        normal_loss = masked_mean(jnp.abs(1.0 - cos), mask)
+        logs["depth_grad_loss"] = lambda_depth_grad * grad_loss
+        logs["depth_normal_loss"] = lambda_depth_normal * normal_loss
+        total = total + logs["depth_grad_loss"] + logs["depth_normal_loss"]
+
+    return total, logs

@@ -35,6 +35,15 @@ def thres_metric(d_est: jnp.ndarray, d_gt: jnp.ndarray, mask: jnp.ndarray,
     return masked_mean(err, mask)
 
 
+def depth2normal(depth: jnp.ndarray) -> jnp.ndarray:
+    """Normal map from a depth image (H, W) -> (H, W, 3) in [0, 1]
+    (reference utils/metric.py:57-73)."""
+    zy, zx = jnp.gradient(depth)
+    normal = jnp.stack([-zx, -zy, jnp.ones_like(depth)], axis=-1)
+    normal = normal / jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    return (normal + 1.0) / 2.0
+
+
 def t_epe_metric(d_est_t0, d_gt_t0, d_est_t1, d_gt_t1, mask_t0, mask_t1):
     """Temporal EPE: |Δpred - Δgt| between flow-aligned frames.
 

@@ -44,6 +44,29 @@ def flow_warp(img: jnp.ndarray, flow: jnp.ndarray, padding_mode: str = "border",
     return _warp(img, coords, padding_mode, mode)
 
 
+def interpolate_value_disp(x: jnp.ndarray, indices: jnp.ndarray,
+                           maxdisp: int) -> jnp.ndarray:
+    """Linearly interpolate a cost/offset volume x (B,H,W,D) at fractional
+    disparity ``indices`` (B,H,W) (reference utils/warp.py:95-118)."""
+    idx = jnp.clip(indices, 0, maxdisp - 1)
+    i0 = jnp.floor(idx)
+    i1 = jnp.minimum(i0 + 1, maxdisp - 1)
+    i0 = jnp.maximum(i1 - 1, 0)
+    y0 = jnp.take_along_axis(x, i0.astype(jnp.int32)[..., None], -1)[..., 0]
+    y1 = jnp.take_along_axis(x, i1.astype(jnp.int32)[..., None], -1)[..., 0]
+    lam = idx - i0
+    return (1 - lam) * y0 + lam * y1
+
+
+def get_disp_from_offset(pred_vol: jnp.ndarray, off_vol: jnp.ndarray,
+                         maxdisp: int, down: int) -> jnp.ndarray:
+    """Argmax disparity + interpolated offset, scaled back to full res
+    (reference utils/warp.py:121-125).  Volumes are (B,H,W,D)."""
+    pred = jnp.argmax(pred_vol, axis=-1).astype(pred_vol.dtype)
+    off = interpolate_value_disp(off_vol, pred, maxdisp // down)
+    return (pred + off) * down
+
+
 def disp_warp(img: jnp.ndarray, disp: jnp.ndarray, padding_mode: str = "border"):
     """Backward-warp the right image by (positive) disparity.
 
