@@ -31,6 +31,10 @@ def main():
     p.add_argument("--max-disp", type=int, default=320)
     p.add_argument("--mode", choices=["streaming", "frame0"],
                    default="streaming")
+    p.add_argument("--bf16", action="store_true",
+                   help="cast params/inputs to bfloat16")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the timed loop")
     args = p.parse_args()
 
     from codd_tpu.models.codd import CODD
@@ -48,6 +52,11 @@ def main():
         jax.random.PRNGKey(0),
         jnp.zeros((1, 2, 64, 128, 3)), jnp.zeros((1, 2, 64, 128, 3)),
         jnp.asarray([[450.0, 450.0, 64.0, 32.0]], jnp.float32))
+
+    if args.bf16:
+        from codd_tpu.utils.precision import cast_floats
+        params = cast_floats(params)
+        left, right = cast_floats(left), cast_floats(right)
 
     first = jax.jit(lambda p, l, r, k: model.apply(p, l, r, k,
                                                    method=CODD.first_step))
@@ -70,6 +79,12 @@ def main():
     for _ in range(args.warmup):
         carry, disp = run(carry)
     jax.block_until_ready(disp)
+
+    if args.profile_dir:
+        with jax.profiler.trace(args.profile_dir):
+            for _ in range(3):
+                carry, disp = run(carry)
+            jax.block_until_ready(disp)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):

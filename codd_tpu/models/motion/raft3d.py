@@ -104,7 +104,15 @@ class BasicUpdateBlock(nn.Module):
 
 
 class GNIteration(nn.Module):
-    """One GRU + Gauss-Newton refinement step (scan body)."""
+    """One GRU + Gauss-Newton refinement step (scan body).
+
+    The per-iteration training supervision (full-res upsampled flows,
+    reference raft3d.py:249-258) is computed *inside* the body: the
+    (h/8, w/8, 8, 8, 9)-shaped convex-upsampling intermediates have a
+    9-wide minor dim that pads 14x under TPU tiling, so they must stay
+    transient per iteration rather than stacked over all 16 via vmap.
+    In eval the stacked ys are unused and jaxpr DCE removes the compute.
+    """
 
     hidden_dim: int = 128
     corr_radius: int = 3
@@ -112,7 +120,7 @@ class GNIteration(nn.Module):
     @nn.compact
     def __call__(self, carry, _):
         (net, Ts, mask, weight, inp, pyramid, depth1_r8, zinv2, intr8,
-         coords0) = carry
+         coords0, depth_prev, intrinsics) = carry
         Ts = jax.lax.stop_gradient(Ts)
 
         coords1_xyz, _ = projective_transform(Ts, depth1_r8, intr8)
@@ -132,9 +140,13 @@ class GNIteration(nn.Module):
         target = coords1_xyz + delta
         Ts = gn_step(Ts, ae, target, weight, depth1_r8, intr8)
 
+        rev_full = cvx_upsample(8.0 * (target[..., :2] - coords0), mask)
+        Ts_up = upsample_se3(Ts, mask)
+        est_full, _, _ = induced_flow(Ts_up, depth_prev, intrinsics)
+
         new_carry = (net, Ts, mask, weight, inp, pyramid, depth1_r8, zinv2,
-                     intr8, coords0)
-        ys = {"rev": target[..., :2] - coords0, "mask": mask, "Ts": Ts}
+                     intr8, coords0, depth_prev, intrinsics)
+        ys = {"est": est_full, "rev": rev_full}
         return new_carry, ys
 
 
@@ -157,8 +169,11 @@ class RAFT3D(nn.Module):
         self.fnet = BasicEncoder(128, name="fnet")
         self.cnet = HRNetSmall(name="cnet")
         self.cnet_out = ResizeConcatConv(128 * 4, name="cnet_out")
+        # remat: recompute each iteration's activations in the backward pass
+        # instead of keeping 16 copies of the GRU/attention intermediates
+        # alive — the scan carry is the only per-iteration residual.
         ScanIter = nn.scan(
-            GNIteration,
+            nn.remat(GNIteration, prevent_cse=False),
             variable_broadcast="params",
             split_rngs={"params": False},
             length=self.iters,
@@ -202,7 +217,7 @@ class RAFT3D(nn.Module):
         mask0 = jnp.zeros((B, h8, w8, 64 * 9), image_curr.dtype)
         weight0 = jnp.zeros((B, h8, w8, 3), image_curr.dtype)
         carry0 = (net, Ts0, mask0, weight0, inp, pyramid, depth1_r8, zinv2,
-                  intr8, coords0)
+                  intr8, coords0, depth_prev, intrinsics)
         carry, ys = self.gn_scan(carry0, None)
         _, Ts, mask, weight = carry[:4]
 
@@ -216,16 +231,8 @@ class RAFT3D(nn.Module):
             "weight": weight_up,                        # (B, H, W, 3)
         }
         if train_mode:
-            # per-iteration supervision pyramids, upsampled outside the loop
-            def per_iter(y):
-                rev = cvx_upsample(8.0 * y["rev"], y["mask"])
-                Ts_i = upsample_se3(y["Ts"], y["mask"])
-                est, _, _ = induced_flow(Ts_i, depth_prev, intrinsics)
-                return est, rev
-
-            est_seq, rev_seq = jax.vmap(per_iter)(ys)
-            out["flow2d_est"] = [est_seq[i] for i in range(self.iters)]
-            out["flow2d_rev"] = [rev_seq[i] for i in range(self.iters)]
+            out["flow2d_est"] = [ys["est"][i] for i in range(self.iters)]
+            out["flow2d_rev"] = [ys["rev"][i] for i in range(self.iters)]
 
         # fresh features for the next frame's carry (raft3d.py:277-278)
         netinp_curr = self.cnet_out(self.cnet(image_curr))

@@ -23,6 +23,8 @@ def parse_args():
                    help="cap the number of sequences (reference --num-frames)")
     p.add_argument("--out-csv", default=None)
     p.add_argument("--split", choices=["val", "test"], default="test")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 inference (reference --fp16 equivalent)")
     p.add_argument("--options", nargs="+", default=None)
     return p.parse_args()
 
@@ -54,6 +56,9 @@ def main():
     params = jax.jit(model.init)(jax.random.PRNGKey(0), init_l, init_l, intr)
     if args.checkpoint:
         params = restore_params(args.checkpoint, params)
+    if args.bf16:
+        from codd_tpu.utils.precision import bf16_params
+        params = bf16_params(params)
 
     metrics = run_inference(model, params, dataset,
                             evaluate=args.eval and not args.show_dir,
