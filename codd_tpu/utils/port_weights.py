@@ -38,7 +38,10 @@ def convert_conv(weight, bias=None) -> Dict[str, np.ndarray]:
 
 
 def convert_conv_transpose(weight, bias=None) -> Dict[str, np.ndarray]:
-    out = {"kernel": _np(weight).transpose(2, 3, 0, 1)}
+    # flax ConvTranspose applies the kernel spatially flipped relative to
+    # torch's transposed conv; flip while transposing
+    k = _np(weight).transpose(2, 3, 0, 1)[::-1, ::-1].copy()
+    out = {"kernel": k}
     if bias is not None:
         out["bias"] = _np(bias)
     return out
