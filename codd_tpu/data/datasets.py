@@ -186,6 +186,46 @@ class StereoVideoDataset:
         if num_samples is not None and 0 < num_samples <= len(self.clips):
             self.clips = self.clips[:num_samples]
 
+    @classmethod
+    def from_dirs(cls, img_dir: str, r_img_dir: Optional[str] = None,
+                  img_suffix: str = ".png", num_frames: int = -1,
+                  prefix_pattern: str = r"\d+.png", **kwargs
+                  ) -> "StereoVideoDataset":
+        """Annotation-free mode: scan an image directory recursively and
+        derive right-image paths by replacing 'left' with 'right'
+        (reference scandir loading, custom_stereo_mf.py:297-319 and the
+        inference.py --img-dir flag)."""
+        import os
+
+        files = []
+        for root, _, names in os.walk(img_dir):
+            for n in sorted(names):
+                if n.endswith(img_suffix):
+                    files.append(osp.relpath(osp.join(root, n), img_dir))
+        files.sort()
+        self = cls.__new__(cls)
+        self.data_root = None
+        self.disp_backend = "pfm"
+        self.flow_backend = "pfm"
+        self.mask_backend = "png"
+        self.flow_occ_inverse = False
+        self.reciprocal_disp = False
+        self.disp_range = tuple(kwargs.get("disp_range", (1.0, 210.0)))
+        self.calib = kwargs.get("calib")
+        intr = kwargs.get("intrinsics")
+        self.intrinsics = list(intr) if intr is not None else None
+        self.pipeline = list(kwargs.get("pipeline", ()))
+        entries = []
+        for f in files:
+            e = {"filename": osp.join(img_dir, f),
+                 "r_filename": osp.join(r_img_dir or img_dir.replace(
+                     "left", "right"), f.replace("left", "right"))}
+            for k in ANN_KEYS:
+                e[k] = None
+            entries.append(e)
+        self.clips = group_clips(entries, num_frames, prefix_pattern)
+        return self
+
     def __len__(self):
         return len(self.clips)
 

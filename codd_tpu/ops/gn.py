@@ -206,4 +206,7 @@ def gn_step(Ts, ae, target, weight, depth, intrinsics, radius=32, lm=1e-4, ep=10
     diag = jnp.diagonal(H, axis1=-2, axis2=-1)
     H = H + jnp.zeros_like(H).at[..., jnp.arange(6), jnp.arange(6)].set(lm * diag + ep)
     dx = cholesky_solve_small(H, b)
+    # failure containment (reference CholeskySolver try/except,
+    # se3_field.py:73-87): a non-finite solve becomes a zero update
+    dx = jnp.where(jnp.all(jnp.isfinite(dx), axis=-1, keepdims=True), dx, 0.0)
     return se3.mul(se3.exp(dx.astype(Ts.dtype)), Ts)

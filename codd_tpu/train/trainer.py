@@ -59,9 +59,17 @@ def make_train_step(
 
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
+        # failure containment: a non-finite loss/grad step becomes a no-op
+        # before it can poison the optimizer state (the TPU analogue of the
+        # reference's detect_anomaly + NaN-zeroing GradientClip safety nets)
+        gnorm = optax.global_norm(grads)
+        ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        logs["grad_norm"] = optax.global_norm(grads)
+        logs["grad_norm"] = gnorm
+        logs["step_skipped"] = (~ok).astype(jnp.float32)
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state), logs
 

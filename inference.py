@@ -23,6 +23,9 @@ def parse_args():
                    help="cap the number of sequences (reference --num-frames)")
     p.add_argument("--out-csv", default=None)
     p.add_argument("--split", choices=["val", "test"], default="test")
+    p.add_argument("--img-dir", default=None,
+                   help="run on a raw stereo image directory (no split file)")
+    p.add_argument("--r-img-dir", default=None)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 inference (reference --fp16 equivalent)")
     p.add_argument("--options", nargs="+", default=None)
@@ -42,10 +45,19 @@ def main():
     cfg = load_config(args.config, args.options)
     model = build_estimator(cfg["model"])
 
-    dcfg = dict(cfg["data"][args.split])
-    if args.num_frames is not None:
-        dcfg["num_samples"] = args.num_frames
-    dataset = build_dataset_from_cfg(dcfg, train=False)
+    if args.img_dir:
+        from codd_tpu.data.datasets import StereoVideoDataset
+        from codd_tpu.data.pipelines import build_test_pipeline
+        dcfg = dict(cfg["data"][args.split])
+        dataset = StereoVideoDataset.from_dirs(
+            args.img_dir, args.r_img_dir,
+            intrinsics=dcfg.get("intrinsics"), calib=dcfg.get("calib"),
+            pipeline=build_test_pipeline(dcfg.get("pad_divisor", 64)))
+    else:
+        dcfg = dict(cfg["data"][args.split])
+        if args.num_frames is not None:
+            dcfg["num_samples"] = args.num_frames
+        dataset = build_dataset_from_cfg(dcfg, train=False)
 
     sample = dataset[0]
     T, H, W = (sample["imgs"].shape[0], *sample["imgs"].shape[1:3])
