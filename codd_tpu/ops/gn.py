@@ -175,20 +175,32 @@ def build_system(Ts, ae, target, weight, depth, intrinsics, radius=32):
     # value field: 21 unique H entries + 6 b entries
     vals = jnp.concatenate([_sym_pack(M), v], axis=-1).reshape(B, n, 27)
 
-    # attention scores over the (windowed) pixel graph — MXU matmul
-    aef = ae.astype(f32).reshape(B, n, -1)
-    sq = jnp.sum(aef * aef, axis=-1)
-    logits = 2.0 * jnp.einsum("bic,bjc->bij", aef, aef) - sq[:, :, None] - sq[:, None, :]
-    if radius is not None:
-        ys, xs = jnp.divmod(jnp.arange(n), w)
-        inside = (jnp.abs(ys[:, None] - ys[None, :]) <= radius) & (
-            jnp.abs(xs[:, None] - xs[None, :]) <= radius
-        )
-        scores = jax.nn.sigmoid(logits) * inside[None].astype(f32)
-    else:
-        scores = jax.nn.sigmoid(logits)
+    # attention scores over the (windowed) pixel graph — MXU matmul.
+    # Optional Pallas path (CODD_TPU_PALLAS_GN=1): flash-style fused kernel
+    # that never materializes the (n, n) score matrix in HBM — wins memory
+    # at high resolution; the XLA path fuses better at KITTI scale.
+    import os
 
-    agg = jnp.einsum("bij,bjc->bic", scores, vals).reshape(B, h, w, 27)
+    aef = ae.astype(f32).reshape(B, n, -1)
+    if os.environ.get("CODD_TPU_PALLAS_GN") == "1" and radius is not None:
+        from .pallas.gn_attention import gn_aggregate
+
+        agg = jax.vmap(
+            lambda a, v: gn_aggregate(a, v, h, w, radius, True)
+        )(aef, vals).reshape(B, h, w, 27)
+    else:
+        sq = jnp.sum(aef * aef, axis=-1)
+        logits = (2.0 * jnp.einsum("bic,bjc->bij", aef, aef)
+                  - sq[:, :, None] - sq[:, None, :])
+        if radius is not None:
+            ys, xs = jnp.divmod(jnp.arange(n), w)
+            inside = (jnp.abs(ys[:, None] - ys[None, :]) <= radius) & (
+                jnp.abs(xs[:, None] - xs[None, :]) <= radius
+            )
+            scores = jax.nn.sigmoid(logits) * inside[None].astype(f32)
+        else:
+            scores = jax.nn.sigmoid(logits)
+        agg = jnp.einsum("bij,bjc->bic", scores, vals).reshape(B, h, w, 27)
     Hmat = _sym_unpack(agg[..., :21])
     bvec = agg[..., 21:]
     return Hmat, bvec
