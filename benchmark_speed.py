@@ -46,7 +46,8 @@ def main():
     first = jax.jit(lambda p, a, b, k: model.apply(p, a, b, k,
                                                    method=CODD.first_step))
     step = jax.jit(lambda p, c, a, b, k: model.apply(p, c, a, b, k,
-                                                     method=CODD.step))
+                                                     method=CODD.step),
+                   donate_argnums=(1,))
 
     carry, out = first(params, l[:, 0], r[:, 0], intr)
     if args.streaming:

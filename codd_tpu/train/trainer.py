@@ -37,6 +37,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     loss_cfg: LossConfig,
     donate: bool = True,
+    bf16_compute: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
     """Build the jitted training step.
 
@@ -52,9 +53,23 @@ def make_train_step(
         gt_seq = {k: v for k, v in batch.items() if k.startswith("gt_")}
 
         def loss_fn(params):
-            outs = model.apply(params, batch["l_img"], batch["r_img"],
+            l_img, r_img = batch["l_img"], batch["r_img"]
+            if bf16_compute:
+                # mixed precision: f32 master params, bf16 compute (the
+                # autodiff through the cast yields f32 grads); dtype
+                # promotion means both params and images must be cast
+                from ..utils.precision import cast_floats
+                params = cast_floats(params, jnp.bfloat16)
+                l_img = l_img.astype(jnp.bfloat16)
+                r_img = r_img.astype(jnp.bfloat16)
+            outs = model.apply(params, l_img, r_img,
                                batch["intrinsics"], train=True,
                                gt_seq=gt_seq or None)
+            if bf16_compute:
+                outs = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float32)
+                    if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
+                    outs)
             return codd_train_loss(loss_cfg, outs, batch)
 
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
