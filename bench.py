@@ -42,8 +42,15 @@ def main():
     H, W = args.height, args.width
     model = CODD(max_disp=args.max_disp, iters=args.gn_iters)
     rng = np.random.RandomState(0)
-    left = jnp.asarray(rng.rand(1, 2, H, W, 3).astype(np.float32))
-    right = jnp.asarray(rng.rand(1, 2, H, W, 3).astype(np.float32))
+    # rotate through distinct synthetic frames so no layer of the stack can
+    # dedup identical executions
+    NBUF = 8
+    lbuf = [jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32))
+            for _ in range(NBUF)]
+    rbuf = [jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32))
+            for _ in range(NBUF)]
+    left = jnp.stack([lbuf[0], lbuf[1]], axis=1)
+    right = jnp.stack([rbuf[0], rbuf[1]], axis=1)
     intr = jnp.asarray([[450.0, 450.0, W / 2.0, H / 2.0]], jnp.float32)
 
     # params are resolution-independent (all-conv): init at a small size to
@@ -57,6 +64,8 @@ def main():
         from codd_tpu.utils.precision import cast_floats
         params = cast_floats(params)
         left, right = cast_floats(left), cast_floats(right)
+        lbuf = [cast_floats(x) for x in lbuf]
+        rbuf = [cast_floats(x) for x in rbuf]
 
     first = jax.jit(lambda p, l, r, k: model.apply(p, l, r, k,
                                                    method=CODD.first_step))
@@ -68,27 +77,27 @@ def main():
     carry = jax.block_until_ready(carry)
 
     if args.mode == "frame0":
-        def run(c):
-            nc, out = first(params, left[:, 1], right[:, 1], intr)
+        def run(c, i):
+            nc, out = first(params, lbuf[i % NBUF], rbuf[i % NBUF], intr)
             return nc, out["pred_disp"]
     else:
-        def run(c):
-            nc, out = step(params, c, left[:, 1], right[:, 1], intr)
+        def run(c, i):
+            nc, out = step(params, c, lbuf[i % NBUF], rbuf[i % NBUF], intr)
             return nc, out["pred_disp"]
 
-    for _ in range(args.warmup):
-        carry, disp = run(carry)
+    for i in range(args.warmup):
+        carry, disp = run(carry, i)
     jax.block_until_ready(disp)
 
     if args.profile_dir:
         with jax.profiler.trace(args.profile_dir):
-            for _ in range(3):
-                carry, disp = run(carry)
+            for i in range(3):
+                carry, disp = run(carry, i)
             jax.block_until_ready(disp)
 
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        carry, disp = run(carry)
+    for i in range(args.iters):
+        carry, disp = run(carry, i)
     jax.block_until_ready(disp)
     dt = time.perf_counter() - t0
 

@@ -71,7 +71,7 @@ def _make_show_fn(model: CODD):
                                   method=CODD.first_step)
 
         def body(carry, x):
-            carry, out = model.apply(params, x[0], x[1], intr,
+            carry, out = model.apply(params, carry, x[0], x[1], intr,
                                      method=CODD.step)
             return carry, out["pred_disp"]
 
