@@ -8,19 +8,59 @@ import jax.numpy as jnp
 from codd_tpu.ops import build_corr_pyramid, corr_lookup, splat_render
 
 
-def test_corr_volume_values():
-    rng = np.random.RandomState(0)
+def _dense_corr_lookup(f1, f2, coords, radius, num_levels):
+    """Numpy oracle: explicit all-pairs volume + pooled-volume bilinear
+    sampling with zeros padding (the reference semantics)."""
+    B, h, w, C = f1.shape
+    vol = np.einsum("bijc,bklc->bijkl", f1, f2) / 16.0
+    outs = []
+    for lvl in range(num_levels):
+        hl, wl = vol.shape[3], vol.shape[4]
+        cl = coords / (2 ** lvl)
+        win = []
+        for dy in range(-radius, radius + 1):
+            for dx in range(-radius, radius + 1):
+                x = cl[..., 0] + dx
+                y = cl[..., 1] + dy
+                x0 = np.floor(x); y0 = np.floor(y)
+                fx = x - x0; fy = y - y0
+                acc = np.zeros((B, h, w), np.float32)
+                for oy, wy in ((0, 1 - fy), (1, fy)):
+                    for ox, wx in ((0, 1 - fx), (1, fx)):
+                        xi = (x0 + ox).astype(int)
+                        yi = (y0 + oy).astype(int)
+                        ok = (xi >= 0) & (xi < wl) & (yi >= 0) & (yi < hl)
+                        xi = np.clip(xi, 0, wl - 1)
+                        yi = np.clip(yi, 0, hl - 1)
+                        for b in range(B):
+                            for i in range(h):
+                                for j in range(w):
+                                    if ok[b, i, j]:
+                                        acc[b, i, j] += (wy if np.isscalar(wy) else wy[b, i, j]) * \
+                                            (wx if np.isscalar(wx) else wx[b, i, j]) * \
+                                            vol[b, i, j, yi[b, i, j], xi[b, i, j]]
+                win.append(acc)
+        outs.append(np.stack(win, -1))
+        if lvl + 1 < num_levels:
+            hl2, wl2 = hl // 2, wl // 2
+            vol = vol[:, :, :, :hl2 * 2, :wl2 * 2].reshape(
+                B, h, w, hl2, 2, wl2, 2).mean((4, 6))
+    return np.concatenate(outs, -1)
+
+
+def test_corr_lookup_matches_dense_volume_oracle():
+    rng = np.random.RandomState(1)
     f1 = rng.randn(1, 4, 6, 8).astype(np.float32)
     f2 = rng.randn(1, 4, 6, 8).astype(np.float32)
     pyr = build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=2)
-    # level0 entry (i,j)->(k,l) = <f1[i,j], f2[k,l]>/16
-    vol = np.asarray(pyr[0]).reshape(4, 6, 4, 6)
-    ref = np.einsum("ijc,klc->ijkl", f1[0], f2[0]) / 16.0
-    np.testing.assert_allclose(vol, ref, atol=1e-5)
+    coords = rng.uniform(-1.5, 7.0, size=(1, 4, 6, 2)).astype(np.float32)
+    out = np.asarray(corr_lookup(pyr, jnp.asarray(coords), radius=1))
+    ref = _dense_corr_lookup(f1, f2, coords, radius=1, num_levels=2)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
 def test_corr_lookup_center_identity():
-    """Looking up at integer coords with radius 0-offset recovers the volume."""
+    """Integer coords, window center recovers <f1,f2>/16 at the same pixel."""
     rng = np.random.RandomState(1)
     f1 = rng.randn(1, 4, 4, 8).astype(np.float32)
     f2 = rng.randn(1, 4, 4, 8).astype(np.float32)
@@ -28,9 +68,8 @@ def test_corr_lookup_center_identity():
     ys, xs = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
     coords = jnp.asarray(np.stack([xs, ys], -1)[None].astype(np.float32))
     out = np.asarray(corr_lookup(pyr, coords, radius=1))  # (1,4,4,9)
-    center = out[0, :, :, 4]  # window center (dy=0,dx=0)
-    vol = np.asarray(pyr[0]).reshape(4, 4, 4, 4)
-    ref = np.stack([vol[i, j, i, j] for i in range(4) for j in range(4)]).reshape(4, 4)
+    center = out[0, :, :, 4]
+    ref = np.einsum("ijc,ijc->ij", f1[0], f2[0]) / 16.0
     np.testing.assert_allclose(center, ref, atol=1e-5)
 
 
