@@ -85,20 +85,26 @@ def main():
             nc, out = step(params, c, lbuf[i % NBUF], rbuf[i % NBUF], intr)
             return nc, out["pred_disp"]
 
+    def hard_sync(x):
+        # block_until_ready is unreliable through the axon tunnel (returns
+        # at schedule time); a host fetch of a value dependent on the whole
+        # chain is the only trustworthy sync
+        return float(np.asarray(x[0, 0, 0, 0]))
+
     for i in range(args.warmup):
         carry, disp = run(carry, i)
-    jax.block_until_ready(disp)
+    hard_sync(disp)
 
     if args.profile_dir:
         with jax.profiler.trace(args.profile_dir):
             for i in range(3):
                 carry, disp = run(carry, i)
-            jax.block_until_ready(disp)
+            hard_sync(disp)
 
     t0 = time.perf_counter()
     for i in range(args.iters):
         carry, disp = run(carry, i)
-    jax.block_until_ready(disp)
+    hard_sync(disp)
     dt = time.perf_counter() - t0
 
     fps = args.iters / dt

@@ -57,12 +57,13 @@ def main():
 
     for _ in range(args.warmup):
         carry, out = run(carry)
-    jax.block_until_ready(out["pred_disp"])
+    float(np.asarray(out["pred_disp"][0, 0, 0, 0]))  # hard sync (axon
+    # tunnel: block_until_ready returns at schedule time)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
         carry, out = run(carry)
-    jax.block_until_ready(out["pred_disp"])
+    float(np.asarray(out["pred_disp"][0, 0, 0, 0]))  # hard sync
     dt = time.perf_counter() - t0
     print(f"Overall fps: {args.iters / dt:.3f}")
 

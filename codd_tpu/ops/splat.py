@@ -8,14 +8,22 @@ Semantics reproduced:
   * per covered pixel the point contributes alpha = 1 - d^2/r^2,
   * fragments on a pixel are alpha-composited front-to-back in depth order
     (nearest surface dominates; up to ``points_per_pixel`` fragments),
-  * the returned zbuf is the depth of the nearest fragment (0 where empty,
-    matching relu(-1-background) in the reference).
+  * the returned zbuf is the depth of the nearest fragment (0 where empty).
 
-TPU formulation: fragments = (point, window-offset) pairs; a single
-lexicographic ``lax.sort`` by (pixel-id, z) orders all fragments, after
-which per-pixel transmittance is an exclusive segment cumsum in log space
-and the composite is a ``segment_sum`` — no data-dependent loops, fully
-differentiable by XLA.
+TPU formulation — **no scatter anywhere** (TPU scatters serialize: a 4M-row
+segment_sum measures ~650 ms even with sorted indices; sorts run ~20 ns/el):
+  1. fragments = (point, footprint-tap) pairs over the tight
+     floor-based (2*ceil(r))^2 footprint, plus one zero-alpha dummy
+     fragment per pixel so every pixel owns a run;
+  2. one lexicographic sort by (pixel, z) orders fragments;
+  3. per-run transmittance = exclusive segment cumsum in log space
+     (global cumsum + gather of the run-start base);
+  4. per-pixel composite = difference of the global inclusive cumsum at
+     run boundaries;
+  5. run-end positions compact to dense pixel order with a second (cheap,
+     2-operand) sort, and one wide row-gather produces the images.
+
+Everything is jnp; XLA differentiates it (sorts/gathers have VJPs).
 
 Known divergence from the reference (documented, intentional): pytorch3d's
 screen-space convention puts pixel centers at half-integer coordinates,
@@ -26,6 +34,7 @@ backward warps are mutually consistent.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -34,10 +43,13 @@ import jax.numpy as jnp
 __all__ = ["splat_render"]
 
 
-def _splat_one(points, features, intrinsics, H, W, radius_px, window, points_per_pixel):
+def _splat_one(points, features, intrinsics, H, W, radius_px,
+               points_per_pixel):
     """points: (N,3), features: (N,C), intrinsics: (4,)."""
     N, C = features.shape
-    K = window * window
+    R = int(math.ceil(radius_px))
+    K = (2 * R) ** 2
+    npix = H * W
     f32 = jnp.float32
 
     fx, fy, cx, cy = intrinsics
@@ -47,54 +59,78 @@ def _splat_one(points, features, intrinsics, H, W, radius_px, window, points_per
     x = fx * (X / zs) + cx
     y = fy * (Y / zs) + cy
 
-    r = window // 2
-    offs = jnp.arange(-r, r + 1)
+    # floor-based footprint: taps floor(p) + {-(R-1) .. R} cover every
+    # integer tap within euclidean distance < R of the projection
+    offs = jnp.arange(-(R - 1), R + 1)
     dy, dx = jnp.meshgrid(offs, offs, indexing="ij")
-    dx = dx.reshape(-1)  # (K,)
+    dx = dx.reshape(-1)
     dy = dy.reshape(-1)
-
-    bx = jnp.floor(x + 0.5).astype(jnp.int32)  # nearest pixel
-    by = jnp.floor(y + 0.5).astype(jnp.int32)
+    bx = jnp.floor(x).astype(jnp.int32)
+    by = jnp.floor(y).astype(jnp.int32)
     px = bx[:, None] + dx[None, :]  # (N,K)
     py = by[:, None] + dy[None, :]
 
     d2 = (px.astype(f32) - x[:, None]) ** 2 + (py.astype(f32) - y[:, None]) ** 2
     alpha = 1.0 - d2 / (radius_px * radius_px)
-    ok = (
-        (alpha > 0)
-        & (px >= 0) & (px < W) & (py >= 0) & (py < H)
-        & zvalid[:, None]
-    )
-    npix = H * W
-    pid = jnp.where(ok, py * W + px, npix).reshape(-1)  # invalid -> dump bucket
+    ok = ((alpha > 0) & (px >= 0) & (px < W) & (py >= 0) & (py < H)
+          & zvalid[:, None])
+    pid = jnp.where(ok, py * W + px, npix).reshape(-1)
     z = jnp.broadcast_to(Z[:, None], (N, K)).reshape(-1).astype(f32)
     alpha = jnp.clip(alpha, 0.0, 1.0 - 1e-4).reshape(-1)
+    src = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
+                           (N, K)).reshape(-1)
 
-    src = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, K)).reshape(-1)
+    # dummy fragment per pixel: guarantees every pid owns a run
+    big_z = jnp.float32(3e38)
+    pid = jnp.concatenate([pid, jnp.arange(npix, dtype=jnp.int32)])
+    z = jnp.concatenate([z, jnp.full((npix,), big_z, f32)])
+    alpha = jnp.concatenate([alpha, jnp.zeros((npix,), f32)])
+    src = jnp.concatenate([src, jnp.zeros((npix,), jnp.int32)])
+
     pid_s, z_s, alpha_s, src_s = jax.lax.sort(
-        (pid, z, alpha, src), dimension=0, num_keys=2
-    )
-
+        (pid, z, alpha, src), dimension=0, num_keys=2)
     M = pid_s.shape[0]
-    start = jnp.concatenate([jnp.ones((1,), bool), pid_s[1:] != pid_s[:-1]])
+    real = (pid_s < npix) & (alpha_s > 0)
+
     pos = jnp.arange(M)
+    start = jnp.concatenate([jnp.ones((1,), bool), pid_s[1:] != pid_s[:-1]])
     seg_start = jax.lax.cummax(jnp.where(start, pos, 0))
     rank = pos - seg_start
 
+    # front-to-back transmittance (exclusive in-segment cumprod of 1-alpha)
     log_t = jnp.log1p(-alpha_s)
     csum = jnp.cumsum(log_t)
-    excl = csum - log_t  # inclusive -> exclusive
-    seg_base = jnp.take(excl, seg_start)
-    transmittance = jnp.exp(excl - seg_base)
+    excl = csum - log_t
+    transmittance = jnp.exp(excl - jnp.take(excl, seg_start))
 
-    wgt = alpha_s * transmittance * (rank < points_per_pixel) * (pid_s < npix)
-    feat_s = jnp.take(features, src_s, axis=0)  # (M, C)
+    wgt = (alpha_s * transmittance
+           * (rank < points_per_pixel) * real).astype(f32)
+    feat_s = jnp.take(features, src_s, axis=0)  # (M, C) wide row gather
 
-    out = jax.ops.segment_sum(feat_s * wgt[:, None].astype(features.dtype),
-                              pid_s, num_segments=npix + 1)[:npix]
-    zmin = jax.ops.segment_min(jnp.where(pid_s < npix, z_s, jnp.inf),
-                               pid_s, num_segments=npix + 1)[:npix]
-    zbuf = jnp.where(jnp.isfinite(zmin), zmin, 0.0)
+    # channels to reduce per pixel: weighted features, nearest-z (only the
+    # run head can carry it), and the real-fragment count (emptiness flag)
+    zhead = jnp.where(start & real, z_s, 0.0)[:, None]
+    cnt = real.astype(f32)[:, None]
+    stacked = jnp.concatenate([feat_s * wgt[:, None], zhead, cnt], axis=-1)
+    S = jnp.cumsum(stacked, axis=0)  # (M, C+2) global inclusive cumsum
+
+    # run-end compaction: each pid owns exactly one run end; a 2-operand
+    # sort brings the end positions into dense pixel order
+    is_end = jnp.concatenate([pid_s[1:] != pid_s[:-1], jnp.ones((1,), bool)])
+    key = jnp.where(is_end, pid_s, npix)
+    _, end_pos = jax.lax.sort((key, pos.astype(jnp.int32)), dimension=0,
+                              num_keys=1)
+    end_pos = end_pos[:npix]  # (npix,) position of each pixel's run end
+
+    S_end = jnp.take(S, end_pos, axis=0)                    # (npix, C+2)
+    S_prevend = jnp.concatenate(
+        [jnp.zeros((1, S.shape[1]), f32),
+         jnp.take(S, end_pos[:-1], axis=0)], axis=0)
+    # runs are contiguous in pid order, so prev pixel's end is this run's
+    # exclusive base
+    totals = S_end - S_prevend
+    out = totals[:, :C]
+    zbuf = jnp.where(totals[:, C + 1] > 0, totals[:, C], 0.0)
 
     return out.reshape(H, W, C), zbuf.reshape(H, W)
 
@@ -116,6 +152,6 @@ def splat_render(points, features, intrinsics, H: int, W: int,
       (B, H, W, C) composited features, (B, H, W) nearest-surface depth
       (0 where nothing landed).
     """
-    window = 2 * int(radius_px + 0.999) + 1
-    fn = lambda p, f, k: _splat_one(p, f, k, H, W, radius_px, window, points_per_pixel)
+    fn = lambda p, f, k: _splat_one(p, f, k, H, W, radius_px,
+                                    points_per_pixel)
     return jax.vmap(fn)(points, features, intrinsics)
