@@ -42,6 +42,11 @@ class Motion(nn.Module):
 
     iters: int = 16
     ds_scale: int = 4
+    # The reference splats the previous *image* too (motion.py:185), but
+    # nothing downstream ever reads it (fusion.py:366 unpacks and drops
+    # it), so by default we skip those 3 full-res channels.  Set True for
+    # bit-level information-flow parity with the reference.
+    warp_image: bool = False
 
     def setup(self):
         self.raft3d = RAFT3D(iters=self.iters, name="raft3d")
@@ -71,17 +76,25 @@ class Motion(nn.Module):
             fmap_prev, netinp_prev, train_mode=train_mode)
         Ts = raft_out["Ts"]
 
-        # full-res warp of [img, induced flow, confidence] (motion.py:183-194)
-        to_proj = jnp.concatenate(
-            [memory_img, raft_out["flow2d_est_induced"], raft_out["weight"]], -1)
+        # full-res warp of [img?, induced flow, confidence] (motion.py:183-194)
+        fields = [raft_out["flow2d_est_induced"], raft_out["weight"]]
+        if self.warp_image:
+            fields = [memory_img] + fields
+        to_proj = jnp.concatenate(fields, -1)
         X1 = inv_project(depth_prev, intrinsics)
         X2 = se3.act(Ts, X1)
+        nch = to_proj.shape[-1]
         warped, zbuf = splat_render(
-            X2.reshape(B, -1, 3), to_proj.reshape(B, -1, 9), intrinsics,
+            X2.reshape(B, -1, 3), to_proj.reshape(B, -1, nch), intrinsics,
             H=H, W=W, radius_px=1.0)
-        img_warp = warped[..., :3]
-        flow_warp = warped[..., 3:6]
-        confidence_warp = warped[..., 6:9]
+        if self.warp_image:
+            img_warp = warped[..., :3]
+            flow_warp = warped[..., 3:6]
+            confidence_warp = warped[..., 6:9]
+        else:
+            img_warp = jnp.zeros_like(memory_img)
+            flow_warp = warped[..., :3]
+            confidence_warp = warped[..., 3:6]
         disp_warp = BF_DEFAULT / (zbuf + 1e-5)
         disp_warp = jnp.where(disp_warp > W, 0.0, disp_warp)
 

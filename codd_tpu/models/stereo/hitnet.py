@@ -170,11 +170,16 @@ class TileInitialization(nn.Module):
 
 
 def _warp_by_disp(fea_r, disp):
-    """Sample fea_r at x - disp (bilinear, zeros padding) — propagation.py:35-58."""
+    """Sample fea_r at x - disp (bilinear, zeros padding) — propagation.py:35-58.
+
+    Horizontal-only 2-tap sample (see ops.warp._hwarp): half the gather
+    traffic of a generic grid_sample."""
+    from ...ops.warp import _hwarp
+
     B, H, W, _ = fea_r.shape
-    x, y = meshgrid_xy(H, W, fea_r.dtype)
-    coords = jnp.stack([x[None] - disp, jnp.broadcast_to(y[None], disp.shape)], -1)
-    return grid_sample(fea_r, coords, mode="bilinear", padding_mode="zeros")
+    x, _ = meshgrid_xy(H, W, fea_r.dtype)
+    warped, _ = _hwarp(fea_r, x[None] - disp, "zeros")
+    return warped
 
 
 def tile_warping(hyp3, fea_l, fea_r):

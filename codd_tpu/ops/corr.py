@@ -37,13 +37,14 @@ def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
     """fmap1/fmap2: (B, h, w, C).  Returns the lookup state: normalized f1
     and the pooled-f2 feature pyramid (matches reference scaling
     <f1/4, f2/4>, corr.py:56-62)."""
-    levels = [fmap2 / 4.0]
     x = fmap2 / 4.0
+    # bf16 storage: halves the tap-gather HBM traffic; dots accumulate f32
+    levels = [x.astype(jnp.bfloat16)]
     for _ in range(num_levels - 1):
         x = jax.lax.reduce_window(
             x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
-        levels.append(x)
-    return {"f1": fmap1 / 4.0, "levels": levels}
+        levels.append(x.astype(jnp.bfloat16))
+    return {"f1": (fmap1 / 4.0).astype(jnp.bfloat16), "levels": levels}
 
 
 def _lookup_level(f1: jnp.ndarray, f2_l: jnp.ndarray, coords: jnp.ndarray,
@@ -79,7 +80,8 @@ def _lookup_level(f1: jnp.ndarray, f2_l: jnp.ndarray, coords: jnp.ndarray,
     g = jnp.take_along_axis(flat2, rows[..., None], axis=1)  # (B, N*t*t, C)
     g = g.reshape(B, N, t * t, C)
 
-    dots = jnp.einsum("bnkc,bnc->bnk", g, f1.reshape(B, N, C))
+    dots = jnp.einsum("bnkc,bnc->bnk", g, f1.reshape(B, N, C),
+                      preferred_element_type=jnp.float32)
     dots = jnp.where(valid, dots, 0.0).reshape(B, N, t, t)
 
     # bilinear combination of neighboring taps -> (2r+1)^2 window values

@@ -72,10 +72,44 @@ def disp_warp(img: jnp.ndarray, disp: jnp.ndarray, padding_mode: str = "border")
 
     img: (B, H, W, C); disp: (B, H, W) or (B, H, W, 1).
     Returns (warped, valid) like :func:`flow_warp`.
+
+    Disparity shifts are horizontal-only, so the bilinear sample needs two
+    taps (same row), not four — half the gather traffic of the generic
+    grid_sample path.
     """
     if disp.ndim == 4:
         disp = disp[..., 0]
-    B, H, W, _ = img.shape
-    x, y = meshgrid_xy(H, W, img.dtype)
-    coords = jnp.stack([x[None] - disp, jnp.broadcast_to(y[None], disp.shape)], axis=-1)
-    return _warp(img, coords, padding_mode, "bilinear")
+    B, H, W, C = img.shape
+    x, _ = meshgrid_xy(H, W, img.dtype)
+    xs = x[None] - disp  # (B, H, W)
+    warped, inb = _hwarp(img, xs, padding_mode)
+    valid = jnp.broadcast_to(inb[..., None], warped.shape)
+    return warped, valid
+
+
+def _hwarp(img: jnp.ndarray, xs: jnp.ndarray, padding_mode: str):
+    """Horizontal-only bilinear sample: img (B,H,W,C) at x-coords xs (B,H,W).
+
+    Returns (warped (B,H,W,C), in_bounds (B,H,W) bool matching the
+    reference validity semantics: ones warped with zeros padding >= 0.9999).
+    """
+    B, H, W, C = img.shape
+    x0f = jnp.floor(xs)
+    wx = (xs - x0f).astype(img.dtype)[..., None]
+
+    def tap(xf):
+        xi = jnp.clip(xf, 0, W - 1).astype(jnp.int32)
+        v = jnp.take_along_axis(img, xi[..., None], axis=2)
+        if padding_mode == "zeros":
+            ok = (xf >= 0) & (xf <= W - 1)
+            v = v * ok[..., None].astype(img.dtype)
+        return v
+
+    v0 = tap(x0f)
+    v1 = tap(x0f + 1)
+    warped = v0 * (1 - wx) + v1 * wx
+    # validity: weight mass of in-bounds taps (== warping ones with zeros)
+    ok0 = ((x0f >= 0) & (x0f <= W - 1)).astype(img.dtype)
+    ok1 = ((x0f + 1 >= 0) & (x0f + 1 <= W - 1)).astype(img.dtype)
+    mass = ok0 * (1 - wx[..., 0]) + ok1 * wx[..., 0]
+    return warped, mass >= 0.9999

@@ -56,7 +56,8 @@ def test_corr_lookup_matches_dense_volume_oracle():
     coords = rng.uniform(-1.5, 7.0, size=(1, 4, 6, 2)).astype(np.float32)
     out = np.asarray(corr_lookup(pyr, jnp.asarray(coords), radius=1))
     ref = _dense_corr_lookup(f1, f2, coords, radius=1, num_levels=2)
-    np.testing.assert_allclose(out, ref, atol=1e-4)
+    # pyramid features are stored bf16 (halved gather traffic): ~1e-2 rel
+    np.testing.assert_allclose(out, ref, atol=3e-2)
 
 
 def test_corr_lookup_center_identity():
@@ -70,7 +71,7 @@ def test_corr_lookup_center_identity():
     out = np.asarray(corr_lookup(pyr, coords, radius=1))  # (1,4,4,9)
     center = out[0, :, :, 4]
     ref = np.einsum("ijc,ijc->ij", f1[0], f2[0]) / 16.0
-    np.testing.assert_allclose(center, ref, atol=1e-5)
+    np.testing.assert_allclose(center, ref, atol=3e-2)
 
 
 def test_splat_identity_points():
