@@ -43,6 +43,14 @@ import jax.numpy as jnp
 __all__ = ["splat_render"]
 
 
+def _quantize_z(z):
+    """Monotone 13-bit key for positive depths: the top sign+exp+4-mantissa
+    bits of the f32 encoding (bit patterns of positive floats are ordered).
+    Finite positive z maps to < 8191, so 0x1FFF is free for dummies."""
+    bits = jax.lax.bitcast_convert_type(z.astype(jnp.float32), jnp.uint32)
+    return bits >> 19
+
+
 def _splat_one(points, features, intrinsics, H, W, radius_px,
                points_per_pixel):
     """points: (N,3), features: (N,C), intrinsics: (4,)."""
@@ -75,21 +83,48 @@ def _splat_one(points, features, intrinsics, H, W, radius_px,
     ok = ((alpha > 0) & (px >= 0) & (px < W) & (py >= 0) & (py < H)
           & zvalid[:, None])
     pid = jnp.where(ok, py * W + px, npix).reshape(-1)
-    z = jnp.broadcast_to(Z[:, None], (N, K)).reshape(-1).astype(f32)
     alpha = jnp.clip(alpha, 0.0, 1.0 - 1e-4).reshape(-1)
-    src = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
-                           (N, K)).reshape(-1)
+
+    # ---- single-key packed sort ----
+    # key = pid (high bits) | quantized-z (13 low bits).  z quantization
+    # only affects the z-ORDER of fragments on the same pixel (ties break
+    # arbitrarily for depths within ~0.03% relative); exact z and alpha are
+    # reconstructed after the sort from the packed (point, tap) payload.
+    # Halving the sort operands matters: sorting is the splat's main cost.
+    zq = _quantize_z(Z)  # (N,) uint32 in [0, 2^13-2], monotone in Z
+    key = (pid.astype(jnp.uint32) << 13) | jnp.broadcast_to(
+        zq[:, None], (N, K)).reshape(-1)
+    payload = (jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[:, None] * K, (N, K))
+        + jnp.arange(K, dtype=jnp.int32)[None, :]).reshape(-1)
 
     # dummy fragment per pixel: guarantees every pid owns a run
-    big_z = jnp.float32(3e38)
-    pid = jnp.concatenate([pid, jnp.arange(npix, dtype=jnp.int32)])
-    z = jnp.concatenate([z, jnp.full((npix,), big_z, f32)])
-    alpha = jnp.concatenate([alpha, jnp.zeros((npix,), f32)])
-    src = jnp.concatenate([src, jnp.zeros((npix,), jnp.int32)])
+    key = jnp.concatenate([
+        key,
+        (jnp.arange(npix, dtype=jnp.uint32) << 13) | jnp.uint32(0x1FFF)])
+    payload = jnp.concatenate([payload, jnp.full((npix,), -1, jnp.int32)])
 
-    pid_s, z_s, alpha_s, src_s = jax.lax.sort(
-        (pid, z, alpha, src), dimension=0, num_keys=2)
-    M = pid_s.shape[0]
+    key_s, payload_s = jax.lax.sort((key, payload), dimension=0, num_keys=1)
+    M = key_s.shape[0]
+    pid_s = (key_s >> 13).astype(jnp.int32)
+    is_dummy = payload_s < 0
+    src_s = jnp.where(is_dummy, 0, payload_s // K)
+    tap_s = jnp.where(is_dummy, 0, payload_s % K)
+
+    # reconstruct exact z and alpha from the source points
+    pt = jnp.take(jnp.stack([x, y, Z], -1), src_s, axis=0)  # (M, 3) rows
+    # tap offsets from arithmetic on the packed tap id (no tiny-table gather)
+    side = 2 * R
+    tdx = tap_s % side - (R - 1)
+    tdy = tap_s // side - (R - 1)
+    tapx = jnp.floor(pt[:, 0]).astype(jnp.int32) + tdx
+    tapy = jnp.floor(pt[:, 1]).astype(jnp.int32) + tdy
+    d2_s = ((tapx.astype(f32) - pt[:, 0]) ** 2
+            + (tapy.astype(f32) - pt[:, 1]) ** 2)
+    alpha_s = jnp.where(
+        is_dummy, 0.0,
+        jnp.clip(1.0 - d2_s / (radius_px * radius_px), 0.0, 1.0 - 1e-4))
+    z_s = pt[:, 2]
     real = (pid_s < npix) & (alpha_s > 0)
 
     pos = jnp.arange(M)
