@@ -134,11 +134,15 @@ class GNIteration(nn.Module):
         dz = zinv - zinv_proj
         twist = se3.log(Ts)
 
-        net, mask, ae, delta, weight = BasicUpdateBlock(
+        dt = net.dtype  # keep the scan carry dtype-stable under bf16
+        net2, mask, ae, delta, weight = BasicUpdateBlock(
             self.hidden_dim, name="update_block")(net, inp, corr, flow, dz,
                                                   twist)
-        target = coords1_xyz + delta
-        Ts = gn_step(Ts, ae, target, weight, depth1_r8, intr8)
+        net = net2.astype(dt)
+        mask = mask.astype(dt)
+        weight = weight.astype(dt)
+        target = (coords1_xyz + delta).astype(jnp.float32)
+        Ts = gn_step(Ts, ae, target, weight, depth1_r8, intr8).astype(Ts.dtype)
 
         rev_full = cvx_upsample(8.0 * (target[..., :2] - coords0), mask)
         Ts_up = upsample_se3(Ts, mask)

@@ -25,6 +25,23 @@ __all__ = [
 _EPS = 1e-8
 
 
+def _f32_internal(fn):
+    """Manifold math runs in f32 regardless of the field dtype: the exp/log
+    small-angle series and quaternion normalization cancel catastrophically
+    in bfloat16."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args):
+        dtype = args[0].dtype
+        if dtype == jnp.float32:
+            return fn(*args)
+        out = fn(*(a.astype(jnp.float32) for a in args))
+        return out.astype(dtype)
+
+    return wrapped
+
+
 def identity(shape, dtype=jnp.float32) -> jnp.ndarray:
     """Identity transforms of the given leading shape -> (*shape, 7)."""
     data = jnp.zeros(tuple(shape) + (7,), dtype)
@@ -39,6 +56,7 @@ def quat_rotate(q: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     return p + qw * t + jnp.cross(qv, t)
 
 
+@_f32_internal
 def act(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """Group action on points: R p + t.  g: (...,7), p: (...,3)."""
     return quat_rotate(g[..., 3:7], p) + g[..., :3]
@@ -58,6 +76,7 @@ def _quat_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+@_f32_internal
 def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Compose transforms: (a * b)(p) = a(b(p))."""
     q = _quat_mul(a[..., 3:7], b[..., 3:7])
@@ -65,6 +84,7 @@ def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([t, q], axis=-1)
 
 
+@_f32_internal
 def inv(g: jnp.ndarray) -> jnp.ndarray:
     q = g[..., 3:7] * jnp.asarray([-1.0, -1.0, -1.0, 1.0], g.dtype)
     t = -quat_rotate(q, g[..., :3])
@@ -81,6 +101,7 @@ def _sinc_coeffs(theta2):
     return A, B, C
 
 
+@_f32_internal
 def exp(tau: jnp.ndarray) -> jnp.ndarray:
     """Exponential map se(3) -> SE(3).  tau: (..., 6) = [v, w]."""
     v = tau[..., :3]
@@ -102,6 +123,7 @@ def exp(tau: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([t, q], axis=-1)
 
 
+@_f32_internal
 def log(g: jnp.ndarray) -> jnp.ndarray:
     """Logarithm map SE(3) -> se(3) -> (..., 6) = [v, w]."""
     t = g[..., :3]

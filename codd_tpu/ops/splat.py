@@ -54,6 +54,12 @@ def _quantize_z(z):
 def _splat_one(points, features, intrinsics, H, W, radius_px,
                points_per_pixel):
     """points: (N,3), features: (N,C), intrinsics: (4,)."""
+    out_dtype = features.dtype
+    # compositing math is precision-critical: bf16 rounds the alpha clip
+    # (1 - 1e-4) to exactly 1.0, making log1p(-alpha) = -inf
+    points = points.astype(jnp.float32)
+    features = features.astype(jnp.float32)
+    intrinsics = intrinsics.astype(jnp.float32)
     N, C = features.shape
     R = int(math.ceil(radius_px))
     K = (2 * R) ** 2
@@ -164,8 +170,8 @@ def _splat_one(points, features, intrinsics, H, W, radius_px,
     # runs are contiguous in pid order, so prev pixel's end is this run's
     # exclusive base
     totals = S_end - S_prevend
-    out = totals[:, :C]
-    zbuf = jnp.where(totals[:, C + 1] > 0, totals[:, C], 0.0)
+    out = totals[:, :C].astype(out_dtype)
+    zbuf = jnp.where(totals[:, C + 1] > 0, totals[:, C], 0.0).astype(out_dtype)
 
     return out.reshape(H, W, C), zbuf.reshape(H, W)
 
