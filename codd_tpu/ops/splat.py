@@ -43,12 +43,12 @@ import jax.numpy as jnp
 __all__ = ["splat_render"]
 
 
-def _quantize_z(z):
-    """Monotone 13-bit key for positive depths: the top sign+exp+4-mantissa
-    bits of the f32 encoding (bit patterns of positive floats are ordered).
-    Finite positive z maps to < 8191, so 0x1FFF is free for dummies."""
+def _quantize_z(z, z_bits):
+    """Monotone ``z_bits``-bit key for positive depths: the top bits of the
+    f32 encoding (bit patterns of positive floats are ordered).  Finite
+    positive z never reaches the all-ones code, which is kept for dummies."""
     bits = jax.lax.bitcast_convert_type(z.astype(jnp.float32), jnp.uint32)
-    return bits >> 19
+    return bits >> (32 - z_bits)
 
 
 def _splat_one(points, features, intrinsics, H, W, radius_px,
@@ -92,13 +92,16 @@ def _splat_one(points, features, intrinsics, H, W, radius_px,
     alpha = jnp.clip(alpha, 0.0, 1.0 - 1e-4).reshape(-1)
 
     # ---- single-key packed sort ----
-    # key = pid (high bits) | quantized-z (13 low bits).  z quantization
-    # only affects the z-ORDER of fragments on the same pixel (ties break
-    # arbitrarily for depths within ~0.03% relative); exact z and alpha are
+    # key = pid (high bits) | quantized-z (low bits).  z quantization only
+    # affects the z-ORDER of fragments on the same pixel (ties break
+    # arbitrarily for near-equal depths); exact z and alpha are
     # reconstructed after the sort from the packed (point, tap) payload.
     # Halving the sort operands matters: sorting is the splat's main cost.
-    zq = _quantize_z(Z)  # (N,) uint32 in [0, 2^13-2], monotone in Z
-    key = (pid.astype(jnp.uint32) << 13) | jnp.broadcast_to(
+    z_bits = 32 - int(npix + 1).bit_length()
+    assert z_bits >= 8, "image too large for packed splat keys"
+    zq = _quantize_z(Z, z_bits)  # monotone in Z, < all-ones for finite z
+    zmask = jnp.uint32((1 << z_bits) - 1)
+    key = (pid.astype(jnp.uint32) << z_bits) | jnp.broadcast_to(
         zq[:, None], (N, K)).reshape(-1)
     payload = (jnp.broadcast_to(
         jnp.arange(N, dtype=jnp.int32)[:, None] * K, (N, K))
@@ -107,12 +110,12 @@ def _splat_one(points, features, intrinsics, H, W, radius_px,
     # dummy fragment per pixel: guarantees every pid owns a run
     key = jnp.concatenate([
         key,
-        (jnp.arange(npix, dtype=jnp.uint32) << 13) | jnp.uint32(0x1FFF)])
+        (jnp.arange(npix, dtype=jnp.uint32) << z_bits) | zmask])
     payload = jnp.concatenate([payload, jnp.full((npix,), -1, jnp.int32)])
 
     key_s, payload_s = jax.lax.sort((key, payload), dimension=0, num_keys=1)
     M = key_s.shape[0]
-    pid_s = (key_s >> 13).astype(jnp.int32)
+    pid_s = (key_s >> z_bits).astype(jnp.int32)
     is_dummy = payload_s < 0
     src_s = jnp.where(is_dummy, 0, payload_s // K)
     tap_s = jnp.where(is_dummy, 0, payload_s % K)
