@@ -35,8 +35,13 @@ def main():
     model = build_estimator(cfg["model"])
     H, W = args.height, args.width
     rng = np.random.RandomState(0)
-    l = jnp.asarray(rng.rand(1, 2, H, W, 3).astype(np.float32))
-    r = jnp.asarray(rng.rand(1, 2, H, W, 3).astype(np.float32))
+    # rotate distinct input buffers so no layer of the stack can dedup
+    # identical executions (same scheme as bench.py)
+    NBUF = 8
+    lbuf = [jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32))
+            for _ in range(NBUF)]
+    rbuf = [jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32))
+            for _ in range(NBUF)]
     intr = jnp.asarray([[450.0, 450.0, W / 2, H / 2]], jnp.float32)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 2, 64, 128, 3)),
@@ -49,20 +54,21 @@ def main():
                                                      method=CODD.step),
                    donate_argnums=(1,))
 
-    carry, out = first(params, l[:, 0], r[:, 0], intr)
+    carry, out = first(params, lbuf[0], rbuf[0], intr)
     if args.streaming:
-        run = lambda c: step(params, c, l[:, 1], r[:, 1], intr)
+        run = lambda c, i: step(params, c, lbuf[i % NBUF], rbuf[i % NBUF],
+                                intr)
     else:
-        run = lambda c: first(params, l[:, 1], r[:, 1], intr)
+        run = lambda c, i: first(params, lbuf[i % NBUF], rbuf[i % NBUF], intr)
 
-    for _ in range(args.warmup):
-        carry, out = run(carry)
+    for i in range(args.warmup):
+        carry, out = run(carry, i)
     float(np.asarray(out["pred_disp"][0, 0, 0, 0]))  # hard sync (axon
     # tunnel: block_until_ready returns at schedule time)
 
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        carry, out = run(carry)
+    for i in range(args.iters):
+        carry, out = run(carry, i)
     float(np.asarray(out["pred_disp"][0, 0, 0, 0]))  # hard sync
     dt = time.perf_counter() - t0
     print(f"Overall fps: {args.iters / dt:.3f}")

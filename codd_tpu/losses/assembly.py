@@ -104,7 +104,7 @@ def codd_train_loss(
 
         pred = out["pred_disp"]
         logs[f"epe{idx}"] = masked_mean(jnp.abs(gt_disp - pred), mask_disp)
-        logs["thres3"] = thres_metric(pred, gt_disp, mask_disp, 3.0)
+        logs[f"thres3{idx}"] = thres_metric(pred, gt_disp, mask_disp, 3.0)
 
         if idx >= 1:
             prev = idx - 1

@@ -50,12 +50,22 @@ def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
 def _lookup_level(f1: jnp.ndarray, f2_l: jnp.ndarray, coords: jnp.ndarray,
                   radius: int) -> jnp.ndarray:
     """f1: (B,h,w,C); f2_l: (B,hl,wl,C); coords: (B,h,w,2) in level pixels.
-    Returns (B, h, w, (2r+1)^2), window row-major (dy outer, dx inner)."""
+    Returns (B, h, w, (2r+1)^2), window row-major (dy outer, dx inner).
+
+    The t x t integer taps per query form one contiguous (t, t, C) patch,
+    so the lookup is ONE sliced gather per query (t*t = 64x fewer gather
+    descriptors than per-tap row gathers — the per-tap form cost ~3.6 ms
+    per GN iteration at KITTI res, dominating the refinement loop).  The
+    level features are zero-padded by 2r+1 so patch starts never clip:
+    out-of-image taps read zeros, which contribute exactly the 0 the
+    validity mask used to enforce; queries so far outside that every tap
+    is invalid are clamped into range and masked at the end."""
     B, h, w, C = f1.shape
     hl, wl = f2_l.shape[1:3]
     N = h * w
     r = radius
     t = 2 * r + 2  # integer taps covering all bilinear supports
+    P = 2 * r + 1  # zero padding: valid patch starts for all clamped x0
 
     cx = coords[..., 0].reshape(B, N)
     cy = coords[..., 1].reshape(B, N)
@@ -64,25 +74,29 @@ def _lookup_level(f1: jnp.ndarray, f2_l: jnp.ndarray, coords: jnp.ndarray,
     fx = (cx - x0)[:, :, None]  # (B,N,1)
     fy = (cy - y0)[:, :, None]
 
-    offs = jnp.arange(-r, r + 2, dtype=x0.dtype)  # (t,)
-    tx = x0[:, :, None] + offs[None, None, :]     # (B,N,t)
-    ty = y0[:, :, None] + offs[None, None, :]
-    vx = (tx >= 0) & (tx <= wl - 1)
-    vy = (ty >= 0) & (ty <= hl - 1)
-    txc = jnp.clip(tx, 0, wl - 1).astype(jnp.int32)
-    tyc = jnp.clip(ty, 0, hl - 1).astype(jnp.int32)
+    # any-tap-in-image range; outside it the whole window is zero
+    vq = ((x0 >= -(r + 1)) & (x0 <= wl - 1 + r)
+          & (y0 >= -(r + 1)) & (y0 <= hl - 1 + r))  # (B,N)
+    sx = (jnp.clip(x0, -(r + 1), wl - 1 + r) - r + P).astype(jnp.int32)
+    sy = (jnp.clip(y0, -(r + 1), hl - 1 + r) - r + P).astype(jnp.int32)
 
-    # row indices for the t x t tap grid, flattened (B, N*t*t)
-    rows = (tyc[:, :, :, None] * wl + txc[:, :, None, :]).reshape(B, N * t * t)
-    valid = (vy[:, :, :, None] & vx[:, :, None, :]).reshape(B, N, t * t)
+    f2p = jnp.pad(f2_l, ((0, 0), (P, P), (P, P), (0, 0)))
 
-    flat2 = f2_l.reshape(B, hl * wl, C)
-    g = jnp.take_along_axis(flat2, rows[..., None], axis=1)  # (B, N*t*t, C)
-    g = g.reshape(B, N, t * t, C)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
 
-    dots = jnp.einsum("bnkc,bnc->bnk", g, f1.reshape(B, N, C),
+    def gather_one(op, idx):
+        return jax.lax.gather(
+            op, idx, dnums, slice_sizes=(t, t, C),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+    starts = jnp.stack([sy, sx], axis=-1)  # (B, N, 2)
+    patches = jax.vmap(gather_one)(f2p, starts)  # (B, N, t, t, C)
+
+    dots = jnp.einsum("bnyxc,bnc->bnyx", patches, f1.reshape(B, N, C),
                       preferred_element_type=jnp.float32)
-    dots = jnp.where(valid, dots, 0.0).reshape(B, N, t, t)
+    dots = dots * vq[:, :, None, None]
 
     # bilinear combination of neighboring taps -> (2r+1)^2 window values
     d00 = dots[:, :, : t - 1, : t - 1]

@@ -10,26 +10,31 @@ Semantics reproduced:
     (nearest surface dominates; up to ``points_per_pixel`` fragments),
   * the returned zbuf is the depth of the nearest fragment (0 where empty).
 
-TPU formulation — **no scatter anywhere** (TPU scatters serialize: a 4M-row
-segment_sum measures ~650 ms even with sorted indices; sorts run ~20 ns/el):
-  1. fragments = (point, footprint-tap) pairs over the tight
-     floor-based (2*ceil(r))^2 footprint, plus one zero-alpha dummy
-     fragment per pixel so every pixel owns a run;
-  2. one lexicographic sort by (pixel, z) orders fragments;
+TPU formulation — **no scatter anywhere, no post-sort gathers**:
+  1. fragments = (point, footprint-tap) pairs over the tight floor-based
+     (2*ceil(r))^2 footprint, plus one zero-alpha dummy fragment per pixel
+     so every pixel owns a run;
+  2. ONE flat 1-D sort keyed by packed (pixel, quantized-z) orders the
+     fragments; the per-fragment payload (alpha, z, feature channels) rides
+     through the sort as value operands — on TPU extra sort operands are
+     ~free, while a post-sort row gather of the same data costs ~10 ms at
+     2.5M fragments.  Batched (2-D) sorts are ~9x slower than flat 1-D
+     sorts on TPU, so the batch dim is an unrolled python loop, not vmap;
   3. per-run transmittance = exclusive segment cumsum in log space
      (global cumsum + gather of the run-start base);
   4. per-pixel composite = difference of the global inclusive cumsum at
      run boundaries;
-  5. run-end positions compact to dense pixel order with a second (cheap,
-     2-operand) sort, and one wide row-gather produces the images.
+  5. run-end rows compact to dense pixel order with a second flat sort
+     that again carries the cumsum rows as value operands.
 
 Everything is jnp; XLA differentiates it (sorts/gathers have VJPs).
 
-Known divergence from the reference (documented, intentional): pytorch3d's
-screen-space convention puts pixel centers at half-integer coordinates,
-which shifts the reference's splats by 0.5 px relative to its own
-``inv_project`` grid.  We keep pixel centers at integers so forward and
-backward warps are mutually consistent.
+``pixel_center_offset`` selects the pixel-center convention: 0.0 keeps
+integer pixel centers (self-consistent with ops.warp / ops.projective);
+pytorch3d's screen-space convention puts pixel centers at half-integer
+coordinates (reference motion.py:106-128 via PerspectiveCameras), which
+shifts its splats by -0.5 px relative to the integer-center grid — pass
+-0.5 to reproduce that when running reference-trained weights.
 """
 
 from __future__ import annotations
@@ -52,8 +57,8 @@ def _quantize_z(z, z_bits):
 
 
 def _splat_one(points, features, intrinsics, H, W, radius_px,
-               points_per_pixel):
-    """points: (N,3), features: (N,C), intrinsics: (4,)."""
+               points_per_pixel, pixel_center_offset):
+    """points: (N,3), features: (N,C)."""
     out_dtype = features.dtype
     # compositing math is precision-critical: bf16 rounds the alpha clip
     # (1 - 1e-4) to exactly 1.0, making log1p(-alpha) = -inf
@@ -70,8 +75,8 @@ def _splat_one(points, features, intrinsics, H, W, radius_px,
     X, Y, Z = points[:, 0], points[:, 1], points[:, 2]
     zvalid = Z > 1e-4
     zs = jnp.where(zvalid, Z, 1.0)
-    x = fx * (X / zs) + cx
-    y = fy * (Y / zs) + cy
+    x = fx * (X / zs) + cx + pixel_center_offset
+    y = fy * (Y / zs) + cy + pixel_center_offset
 
     # floor-based footprint: taps floor(p) + {-(R-1) .. R} cover every
     # integer tap within euclidean distance < R of the projection
@@ -89,51 +94,38 @@ def _splat_one(points, features, intrinsics, H, W, radius_px,
     ok = ((alpha > 0) & (px >= 0) & (px < W) & (py >= 0) & (py < H)
           & zvalid[:, None])
     pid = jnp.where(ok, py * W + px, npix).reshape(-1)
-    alpha = jnp.clip(alpha, 0.0, 1.0 - 1e-4).reshape(-1)
+    alpha = jnp.where(ok, jnp.clip(alpha, 0.0, 1.0 - 1e-4), 0.0).reshape(-1)
 
-    # ---- single-key packed sort ----
+    # ---- single flat sort, payload carried as value operands ----
     # key = pid (high bits) | quantized-z (low bits).  z quantization only
     # affects the z-ORDER of fragments on the same pixel (ties break
-    # arbitrarily for near-equal depths); exact z and alpha are
-    # reconstructed after the sort from the packed (point, tap) payload.
-    # Halving the sort operands matters: sorting is the splat's main cost.
+    # arbitrarily for near-equal depths); exact z and alpha ride along.
     z_bits = 32 - int(npix + 1).bit_length()
     assert z_bits >= 8, "image too large for packed splat keys"
     zq = _quantize_z(Z, z_bits)  # monotone in Z, < all-ones for finite z
     zmask = jnp.uint32((1 << z_bits) - 1)
     key = (pid.astype(jnp.uint32) << z_bits) | jnp.broadcast_to(
         zq[:, None], (N, K)).reshape(-1)
-    payload = (jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.int32)[:, None] * K, (N, K))
-        + jnp.arange(K, dtype=jnp.int32)[None, :]).reshape(-1)
+
+    zfrag = jnp.broadcast_to(Z[:, None], (N, K)).reshape(-1)
+    ffrag = jnp.broadcast_to(features[:, None], (N, K, C)).reshape(-1, C)
 
     # dummy fragment per pixel: guarantees every pid owns a run
     key = jnp.concatenate([
-        key,
-        (jnp.arange(npix, dtype=jnp.uint32) << z_bits) | zmask])
-    payload = jnp.concatenate([payload, jnp.full((npix,), -1, jnp.int32)])
+        key, (jnp.arange(npix, dtype=jnp.uint32) << z_bits) | zmask])
+    alpha = jnp.concatenate([alpha, jnp.zeros((npix,), f32)])
+    zfrag = jnp.concatenate([zfrag, jnp.zeros((npix,), f32)])
+    ops = [key, alpha, zfrag] + [ffrag[:, c] for c in range(C)]
+    zero_feat = jnp.zeros((npix,), f32)
+    for c in range(C):
+        ops[3 + c] = jnp.concatenate([ops[3 + c], zero_feat])
 
-    key_s, payload_s = jax.lax.sort((key, payload), dimension=0, num_keys=1)
+    sorted_ops = jax.lax.sort(tuple(ops), dimension=0, num_keys=1,
+                              is_stable=False)
+    key_s, alpha_s, z_s = sorted_ops[0], sorted_ops[1], sorted_ops[2]
+    feat_s = jnp.stack(sorted_ops[3:], axis=-1)  # (M, C)
     M = key_s.shape[0]
     pid_s = (key_s >> z_bits).astype(jnp.int32)
-    is_dummy = payload_s < 0
-    src_s = jnp.where(is_dummy, 0, payload_s // K)
-    tap_s = jnp.where(is_dummy, 0, payload_s % K)
-
-    # reconstruct exact z and alpha from the source points
-    pt = jnp.take(jnp.stack([x, y, Z], -1), src_s, axis=0)  # (M, 3) rows
-    # tap offsets from arithmetic on the packed tap id (no tiny-table gather)
-    side = 2 * R
-    tdx = tap_s % side - (R - 1)
-    tdy = tap_s // side - (R - 1)
-    tapx = jnp.floor(pt[:, 0]).astype(jnp.int32) + tdx
-    tapy = jnp.floor(pt[:, 1]).astype(jnp.int32) + tdy
-    d2_s = ((tapx.astype(f32) - pt[:, 0]) ** 2
-            + (tapy.astype(f32) - pt[:, 1]) ** 2)
-    alpha_s = jnp.where(
-        is_dummy, 0.0,
-        jnp.clip(1.0 - d2_s / (radius_px * radius_px), 0.0, 1.0 - 1e-4))
-    z_s = pt[:, 2]
     real = (pid_s < npix) & (alpha_s > 0)
 
     pos = jnp.arange(M)
@@ -142,14 +134,20 @@ def _splat_one(points, features, intrinsics, H, W, radius_px,
     rank = pos - seg_start
 
     # front-to-back transmittance (exclusive in-segment cumprod of 1-alpha)
+    # via a segmented scan — the combine resets at segment starts, avoiding
+    # a 2.5M-element gather of the run-start base (~16 ms on TPU)
     log_t = jnp.log1p(-alpha_s)
-    csum = jnp.cumsum(log_t)
-    excl = csum - log_t
-    transmittance = jnp.exp(excl - jnp.take(excl, seg_start))
+
+    def _seg_add(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va + vb)
+
+    _, seg_incl = jax.lax.associative_scan(_seg_add, (start, log_t))
+    transmittance = jnp.exp(seg_incl - log_t)
 
     wgt = (alpha_s * transmittance
            * (rank < points_per_pixel) * real).astype(f32)
-    feat_s = jnp.take(features, src_s, axis=0)  # (M, C) wide row gather
 
     # channels to reduce per pixel: weighted features, nearest-z (only the
     # run head can carry it), and the real-fragment count (emptiness flag)
@@ -158,20 +156,20 @@ def _splat_one(points, features, intrinsics, H, W, radius_px,
     stacked = jnp.concatenate([feat_s * wgt[:, None], zhead, cnt], axis=-1)
     S = jnp.cumsum(stacked, axis=0)  # (M, C+2) global inclusive cumsum
 
-    # run-end compaction: each pid owns exactly one run end; a 2-operand
-    # sort brings the end positions into dense pixel order
+    # run-end compaction: each pid owns exactly one run end; a second flat
+    # sort (again carrying the cumsum rows as values) brings the end rows
+    # into dense pixel order
     is_end = jnp.concatenate([pid_s[1:] != pid_s[:-1], jnp.ones((1,), bool)])
-    key = jnp.where(is_end, pid_s, npix)
-    _, end_pos = jax.lax.sort((key, pos.astype(jnp.int32)), dimension=0,
-                              num_keys=1)
-    end_pos = end_pos[:npix]  # (npix,) position of each pixel's run end
+    key2 = jnp.where(is_end, pid_s, npix)
+    sorted2 = jax.lax.sort(
+        (key2,) + tuple(S[:, c] for c in range(C + 2)),
+        dimension=0, num_keys=1, is_stable=False)
+    S_end = jnp.stack(sorted2[1:], axis=-1)[:npix]  # (npix, C+2) pixel order
 
-    S_end = jnp.take(S, end_pos, axis=0)                    # (npix, C+2)
-    S_prevend = jnp.concatenate(
-        [jnp.zeros((1, S.shape[1]), f32),
-         jnp.take(S, end_pos[:-1], axis=0)], axis=0)
     # runs are contiguous in pid order, so prev pixel's end is this run's
     # exclusive base
+    S_prevend = jnp.concatenate(
+        [jnp.zeros((1, C + 2), f32), S_end[:-1]], axis=0)
     totals = S_end - S_prevend
     out = totals[:, :C].astype(out_dtype)
     zbuf = jnp.where(totals[:, C + 1] > 0, totals[:, C], 0.0).astype(out_dtype)
@@ -179,9 +177,11 @@ def _splat_one(points, features, intrinsics, H, W, radius_px,
     return out.reshape(H, W, C), zbuf.reshape(H, W)
 
 
-@partial(jax.jit, static_argnames=("H", "W", "radius_px", "points_per_pixel"))
+@partial(jax.jit, static_argnames=("H", "W", "radius_px", "points_per_pixel",
+                                   "pixel_center_offset"))
 def splat_render(points, features, intrinsics, H: int, W: int,
-                 radius_px: float = 1.0, points_per_pixel: int = 8):
+                 radius_px: float = 1.0, points_per_pixel: int = 8,
+                 pixel_center_offset: float = 0.0):
     """Render a batched point cloud into (features, zbuf) images.
 
     Args:
@@ -191,11 +191,20 @@ def splat_render(points, features, intrinsics, H: int, W: int,
       H, W: output resolution.
       radius_px: splat radius in pixels (reference radius 2.0 NDC-per-h
         == 1 px at full res; 4.0 == 2 px at 1/4 res).
+      pixel_center_offset: 0.0 for integer pixel centers (self-consistent
+        grid), -0.5 to reproduce pytorch3d's half-integer screen convention.
 
     Returns:
       (B, H, W, C) composited features, (B, H, W) nearest-surface depth
       (0 where nothing landed).
     """
-    fn = lambda p, f, k: _splat_one(p, f, k, H, W, radius_px,
-                                    points_per_pixel)
-    return jax.vmap(fn)(points, features, intrinsics)
+    B = points.shape[0]
+    outs, zbufs = [], []
+    # unrolled over batch: flat 1-D sorts are ~9x faster than the batched
+    # 2-D sorts a vmap would produce
+    for b in range(B):
+        o, z = _splat_one(points[b], features[b], intrinsics[b], H, W,
+                          radius_px, points_per_pixel, pixel_center_offset)
+        outs.append(o)
+        zbufs.append(z)
+    return jnp.stack(outs), jnp.stack(zbufs)
