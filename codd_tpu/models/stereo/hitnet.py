@@ -343,8 +343,12 @@ class TilePropagation(nn.Module):
             "prop_disp_pyramid": [p[..., 0:1] for p in planes],
             "dx_pyramid": [p[..., 1:2] for p in planes],
             "dy_pyramid": [p[..., 2:3] for p in planes],
-            # w (confidence) exists for the 8 two-hypothesis outputs only
-            "w_pyramid": [p[..., 16:17] for p in planes[1:9]],
+            # w exists for the 8 two-hypothesis outputs only.  Reference
+            # quirk kept: propagation.py:436-445 slices channel 3:4 of the
+            # upsampled 17-ch plane — the FIRST DESCRIPTOR channel, not the
+            # appended confidence at channel 16 — so the w_loss actually
+            # supervises descriptor[0]; parity requires the same slice.
+            "w_pyramid": [p[..., 3:4] for p in planes[1:9]],
         }
         return final_disp, aux
 

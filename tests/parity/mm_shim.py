@@ -1,0 +1,283 @@
+"""Import shim: lets the /root/reference torch modules instantiate on CPU.
+
+The reference depends on mmcv/mmseg (registries + init helpers), lietorch
+(CUDA SE(3) ops) and lietorch_extras (CUDA GN/corr kernels), none of which
+are installed here.  This module fakes exactly the surface the reference
+imports (reference model/stereo/hitnet/hitnet.py:6-10,
+model/fusion/fusion.py:8-14, model/motion/raft3d/raft3d.py:9-18) so the
+*pure-torch* parts — the entire stereo network, the fusion network, the
+RAFT encoders/GRU/update block — run for golden-parity tests against the
+JAX rebuild.  The CUDA-only kernels (se3_build/cholesky6x6/corr_index)
+stay unavailable: tests needing them assert at the sub-module level
+instead (VERDICT round-1, item 3).
+
+The SE3 shim replicates lietorch's public semantics (data layout
+[tx,ty,tz,qx,qy,qz,qw], `Ts * X` group action, exp/log/matrix) in pure
+torch so projective_ops / GTMotion can run.
+
+None of this is a copy of mmcv/mmseg code — it is a minimal re-typed
+facade (a registry dict, four init helpers with mmcv's hasattr-guard
+semantics, which the reference exploits: it passes *tensors* where mmcv
+expects modules, making those init calls silent no-ops).
+"""
+
+import sys
+import types
+
+import torch
+import torch.nn as nn
+
+REF_ROOT = "/root/reference"
+
+
+class _Registry:
+    """mmcv-style registry: @R.register_module() + R.build(cfg)."""
+
+    def __init__(self):
+        self._modules = {}
+
+    def register_module(self, name=None, module=None, force=False):
+        if module is not None:
+            self._modules[name or module.__name__] = module
+            return module
+
+        def deco(cls):
+            self._modules[name or cls.__name__] = cls
+            return cls
+
+        return deco
+
+    def get(self, name):
+        return self._modules[name]
+
+    def build(self, cfg, default_args=None):
+        cfg = dict(cfg)
+        cls = self._modules[cfg.pop("type")]
+        if default_args:
+            for k, v in default_args.items():
+                cfg.setdefault(k, v)
+        return cls(**cfg)
+
+
+def _module(name):
+    mod = types.ModuleType(name)
+    sys.modules[name] = mod
+    return mod
+
+
+# ---------------------------------------------------------------------------
+# pure-torch SE3 (lietorch facade); data layout [tx,ty,tz, qx,qy,qz,qw]
+# ---------------------------------------------------------------------------
+
+
+def _qmul(q1, q2):
+    x1, y1, z1, w1 = q1.unbind(-1)
+    x2, y2, z2, w2 = q2.unbind(-1)
+    return torch.stack([
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+    ], -1)
+
+
+def _qrot(q, v):
+    """Rotate vectors v (...,3) by unit quaternions q (...,4)."""
+    u, w = q[..., :3], q[..., 3:4]
+    uv = torch.cross(u, v, dim=-1)
+    uuv = torch.cross(u, uv, dim=-1)
+    return v + 2.0 * (w * uv + uuv)
+
+
+class SE3:
+    def __init__(self, data):
+        self.data = data
+
+    @staticmethod
+    def Identity(*batch_shape, device=None, dtype=torch.float32, **kw):
+        data = torch.zeros(*batch_shape, 7, device=device, dtype=dtype)
+        data[..., 6] = 1.0
+        return SE3(data)
+
+    @staticmethod
+    def InitFromVec(data):
+        return SE3(data)
+
+    @staticmethod
+    def exp(xi):
+        """xi = (..., 6) [v, w] -> SE3; closed-form Rodrigues."""
+        v, w = xi[..., :3], xi[..., 3:]
+        theta2 = (w * w).sum(-1, keepdim=True)
+        theta = torch.sqrt(theta2.clamp_min(1e-24))
+        small = theta2 < 1e-12
+        half = 0.5 * theta
+        qw = torch.cos(half)
+        s = torch.where(small, 0.5 - theta2 / 48.0, torch.sin(half) / theta)
+        quat = torch.cat([w * s, qw], -1)
+        # V matrix applied to v: t = V @ v
+        a = torch.where(small, 1.0 - theta2 / 6.0,
+                        torch.sin(theta) / theta)
+        b = torch.where(small, 0.5 - theta2 / 24.0,
+                        (1.0 - torch.cos(theta)) / theta2)
+        c = torch.where(small, 1.0 / 6.0 - theta2 / 120.0,
+                        (1.0 - a) / theta2)
+        wxv = torch.cross(w, v, dim=-1)
+        wxwxv = torch.cross(w, wxv, dim=-1)
+        t = a * v + b * wxv + c * wxwxv
+        return SE3(torch.cat([t, quat], -1))
+
+    def log(self):
+        t, q = self.data[..., :3], self.data[..., 3:]
+        u, qw = q[..., :3], q[..., 3]
+        un = torch.linalg.norm(u, dim=-1)
+        theta = 2.0 * torch.atan2(un, qw.abs())
+        sign = torch.where(qw < 0, -torch.ones_like(qw), torch.ones_like(qw))
+        small = un < 1e-9
+        scale = torch.where(small, 2.0 * sign / qw.abs().clamp_min(1e-12),
+                            theta / un.clamp_min(1e-12) * sign)
+        w = u * scale.unsqueeze(-1)
+        theta2 = (w * w).sum(-1, keepdim=True)
+        theta1 = torch.sqrt(theta2.clamp_min(1e-24))
+        sm = theta2 < 1e-12
+        a = torch.where(sm, 1.0 - theta2 / 6.0, torch.sin(theta1) / theta1)
+        b = torch.where(sm, 0.5 - theta2 / 24.0,
+                        (1.0 - torch.cos(theta1)) / theta2)
+        # V^{-1} v
+        coef = torch.where(sm, 1.0 / 12.0 + theta2 / 720.0,
+                           (1.0 - a / (2.0 * b)) / theta2)
+        wxt = torch.cross(w, t, dim=-1)
+        wxwxt = torch.cross(w, wxt, dim=-1)
+        v = t - 0.5 * wxt + coef * wxwxt
+        return torch.cat([v, w], -1)
+
+    def inv(self):
+        t, q = self.data[..., :3], self.data[..., 3:]
+        qinv = torch.cat([-q[..., :3], q[..., 3:]], -1)
+        return SE3(torch.cat([-_qrot(qinv, t), qinv], -1))
+
+    def matrix(self):
+        t, q = self.data[..., :3], self.data[..., 3:]
+        eye = torch.eye(3, device=q.device, dtype=q.dtype).expand(
+            *q.shape[:-1], 3, 3)
+        R = _qrot(q.unsqueeze(-2), eye)  # rows are R @ e_i -> transpose
+        R = R.transpose(-1, -2)
+        M = torch.zeros(*q.shape[:-1], 4, 4, device=q.device, dtype=q.dtype)
+        M[..., :3, :3] = R
+        M[..., :3, 3] = t
+        M[..., 3, 3] = 1.0
+        return M
+
+    def act(self, X):
+        t, q = self.data[..., :3], self.data[..., 3:]
+        if X.shape[-1] == 4:
+            p = _qrot(q, X[..., :3]) + t * X[..., 3:4]
+            return torch.cat([p, X[..., 3:4]], -1)
+        return _qrot(q, X) + t
+
+    def __mul__(self, other):
+        if isinstance(other, SE3):
+            t1, q1 = self.data[..., :3], self.data[..., 3:]
+            t2 = other.data[..., :3]
+            q2 = other.data[..., 3:]
+            return SE3(torch.cat([_qrot(q1, t2) + t1, _qmul(q1, q2)], -1))
+        return self.act(other)
+
+    def detach(self):
+        return SE3(self.data.detach())
+
+    def __getitem__(self, idx):
+        return SE3(self.data[idx])
+
+    @property
+    def shape(self):
+        return self.data.shape[:-1]
+
+
+# ---------------------------------------------------------------------------
+# install
+# ---------------------------------------------------------------------------
+
+_installed = False
+
+
+def install():
+    global _installed
+    if _installed:
+        return
+    _installed = True
+
+    # ---- mmseg ----
+    mmseg = _module("mmseg")
+    mmseg_models = _module("mmseg.models")
+    builder = _module("mmseg.models.builder")
+    registry = _Registry()
+    builder.MODELS = registry
+    builder.BACKBONES = registry
+    builder.LOSSES = registry
+    builder.HEADS = registry
+    builder.build_backbone = lambda cfg: registry.build(cfg)
+    builder.build_loss = lambda cfg: registry.build(cfg)
+    mmseg_models.builder = builder
+    mmseg.models = mmseg_models
+
+    # ---- mmcv (hasattr-guard init helpers: tensors are silent no-ops,
+    # exactly like real mmcv when handed a tensor instead of a module) ----
+    mmcv = _module("mmcv")
+    mmcv_cnn = _module("mmcv.cnn")
+
+    def _init_pair(module, weight_fn, bias=0.0):
+        if hasattr(module, "weight") and module.weight is not None:
+            weight_fn(module.weight)
+        if hasattr(module, "bias") and module.bias is not None:
+            nn.init.constant_(module.bias, bias)
+
+    mmcv_cnn.constant_init = lambda m, val, bias=0: _init_pair(
+        m, lambda w: nn.init.constant_(w, val), bias)
+    mmcv_cnn.kaiming_init = lambda m, a=0, mode="fan_out", nonlinearity="relu", bias=0, distribution="normal": _init_pair(  # noqa: E501
+        m, lambda w: nn.init.kaiming_normal_(
+            w, a=a, mode=mode, nonlinearity=nonlinearity), bias)
+    mmcv_cnn.normal_init = lambda m, mean=0, std=1, bias=0: _init_pair(
+        m, lambda w: nn.init.normal_(w, mean, std), bias)
+    mmcv_cnn.trunc_normal_init = lambda m, mean=0, std=1, a=-2, b=2, bias=0: _init_pair(  # noqa: E501
+        m, lambda w: nn.init.trunc_normal_(w, mean, std, a, b), bias)
+    mmcv.cnn = mmcv_cnn
+
+    mmcv_utils = _module("mmcv.utils")
+    parrots = _module("mmcv.utils.parrots_wrapper")
+    parrots._BatchNorm = nn.modules.batchnorm._BatchNorm
+    mmcv_utils.parrots_wrapper = parrots
+    mmcv.utils = mmcv_utils
+
+    runner = _module("mmcv.runner")
+    runner.BaseModule = nn.Module
+    runner.auto_fp16 = lambda *a, **k: (lambda f: f)
+    runner.force_fp32 = lambda *a, **k: (lambda f: f)
+    mmcv.runner = runner
+
+    # ---- lietorch ----
+    lietorch = _module("lietorch")
+    lietorch.SE3 = SE3
+
+    extras = _module("lietorch_extras")
+
+    def _unavailable(*a, **k):
+        raise NotImplementedError(
+            "lietorch_extras is CUDA-only; parity tests cover sub-modules")
+
+    for fname in ("se3_build", "se3_build_backward", "se3_build_inplace",
+                  "se3_build_inplace_backward", "cholesky6x6_forward",
+                  "cholesky6x6_backward", "corr_index_forward",
+                  "corr_index_backward"):
+        setattr(extras, fname, _unavailable)
+
+    # ---- reference packages: synthetic parents skip the heavy __init__
+    # chains (model/__init__.py imports codd.py -> pytorch3d;
+    # model/motion/__init__.py imports motion.py -> pytorch3d) ----
+    for name, path in (("model", f"{REF_ROOT}/model"),
+                       ("model.motion", f"{REF_ROOT}/model/motion")):
+        pkg = types.ModuleType(name)
+        pkg.__path__ = [path]
+        sys.modules[name] = pkg
+
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)  # for the reference's `utils` package
