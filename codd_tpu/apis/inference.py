@@ -91,6 +91,7 @@ def run_inference(
     show_dir: Optional[str] = None,
     reciprocal: bool = False,
     out_csv: Optional[str] = None,
+    metric: str = "default",
     log=print,
 ) -> Dict[str, float]:
     """Evaluate (or dump) every sequence of ``dataset``.
@@ -101,11 +102,11 @@ def run_inference(
     stats = RunningStatsWithBuffer(path=out_csv)
 
     # multi-host: shard sequences by process (reference rank/world_size
-    # dataset split, inference.py:101-103); each host pushes its own rows
-    # and the hosts' CSVs merge by `+` (RunningStatsWithBuffer.__add__)
+    # dataset split, inference.py:101-103); rows re-merge automatically
+    # below via process_allgather (reference dist.all_gather_object +
+    # rank-0 reduce, apis/inference.py:146-154)
     host, n_hosts = jax.process_index(), jax.process_count()
-    if n_hosts > 1 and out_csv:
-        stats.path = out_csv + f".rank{host}"
+    local_rows: List[Any] = []  # (seq_idx, metric values) for the allgather
 
     for i in range(host, len(dataset), n_hosts):
         sample = dataset[i]
@@ -141,37 +142,90 @@ def run_inference(
                 float, evaluators[key](params, batch))
             if stats.header is None:
                 stats.header = ["filename"] + list(METER_NAMES) + list(SUM_NAMES)
-            stats.push(name, [metrics[k] for k in METER_NAMES]
-                       + [metrics[k] for k in SUM_NAMES])
+            vals = ([metrics[k] for k in METER_NAMES]
+                    + [metrics[k] for k in SUM_NAMES])
+            stats.push(name, vals)
+            local_rows.append((i, vals))
 
     if show_dir or not evaluate:
         return {}
-    if out_csv:
+
+    if n_hosts > 1:
+        stats = _merge_hosts(local_rows, dataset, n_hosts, out_csv)
+    if out_csv and (n_hosts == 1 or host == 0):
         stats.dump()
-    return summarize(stats, log=log)
+    return summarize(stats, metric=metric, log=log)
 
 
-def summarize(stats: RunningStatsWithBuffer, log=print) -> Dict[str, float]:
-    """Aggregate per-sequence rows into the reference's two tables
-    (custom_stereo_mf.py:330-458): disparity metrics average per-sequence
-    means; scene-flow metrics are ratio-of-sums."""
+def _merge_hosts(local_rows, dataset, n_hosts: int,
+                 out_csv) -> RunningStatsWithBuffer:
+    """All-gather per-sequence metric rows across hosts (reference
+    dist.all_gather_object + reduce, apis/inference.py:146-154).
+
+    Rows travel as a fixed-shape (max_n, 1+width) array per host —
+    [sequence index, metrics...], index -1 padding — because
+    process_allgather moves arrays, not python objects; every host can map
+    indices back to names via dataset.sequence_name."""
+    from jax.experimental import multihost_utils
+
+    width = len(METER_NAMES) + len(SUM_NAMES)
+    max_n = -(-len(dataset) // n_hosts)
+    arr = np.full((max_n, 1 + width), -1.0, np.float32)
+    for r, (idx, vals) in enumerate(local_rows):
+        arr[r, 0] = idx
+        arr[r, 1:] = vals
+    gathered = np.asarray(multihost_utils.process_allgather(arr))
+    gathered = gathered.reshape(-1, 1 + width)
+
+    merged = RunningStatsWithBuffer(path=out_csv)
+    merged.header = ["filename"] + list(METER_NAMES) + list(SUM_NAMES)
+    order = np.argsort(gathered[:, 0], kind="stable")
+    for row in gathered[order]:
+        if row[0] >= 0:
+            merged.push(dataset.sequence_name(int(row[0])), list(row[1:]))
+    return merged
+
+
+def _ascii_table(header, row) -> str:
+    """Reference-style summary grid (AsciiTable, custom_stereo_mf.py:382)."""
+    cells = [str(c) for c in row]
+    widths = [max(len(h), len(c)) for h, c in zip(header, cells)]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    def line(vals):
+        return "| " + " | ".join(v.ljust(w) for v, w in zip(vals, widths)) + " |"
+    return "\n".join([sep, line(header), sep, line(cells), sep])
+
+
+def summarize(stats: RunningStatsWithBuffer, metric: str = "default",
+              log=print) -> Dict[str, float]:
+    """Aggregate per-sequence rows into the reference's summary tables with
+    metric-mode selection default|disp_only|motion_only
+    (custom_stereo_mf.py:432-458): disparity metrics average per-sequence
+    means (AverageMeter semantics); scene-flow metrics are ratio-of-sums."""
+    allowed = ("default", "disp_only", "motion_only")
+    if metric not in allowed:
+        raise KeyError(f"metric {metric} is not supported (one of {allowed})")
     rows = np.asarray(list(stats.buffer.values()), np.float64)
-    names = list(METER_NAMES) + list(SUM_NAMES)
     out: Dict[str, float] = {}
     if rows.size == 0:
         return out
-    for j, n in enumerate(METER_NAMES):
-        out[n] = float(rows[:, j].mean())
+
+    disp_vals = {n: float(rows[:, j].mean())
+                 for j, n in enumerate(METER_NAMES)}
     base = len(METER_NAMES)
     count = max(rows[:, base].sum(), 1.0)
-    for j, n in enumerate(SUM_NAMES[1:], start=base + 1):
-        out[n] = float(rows[:, j].sum() / count)
-    out["count"] = float(rows[:, base].sum())
+    motion_vals = {n: float(rows[:, base + 1 + j].sum() / count)
+                   for j, n in enumerate(SUM_NAMES[1:])}
 
-    disp_keys = list(METER_NAMES)
-    motion_keys = [n for n in SUM_NAMES if n != "count"]
-    log("Summary (disparity):")
-    log("  " + " | ".join(f"{k}={out[k]:.3f}" for k in disp_keys))
-    log("Summary (motion):")
-    log("  " + " | ".join(f"{k}={out[k]:.3f}" for k in motion_keys))
+    if metric in ("default", "disp_only"):
+        keys = list(METER_NAMES)
+        log("Summary:")
+        log("\n" + _ascii_table(keys, [round(disp_vals[k], 3) for k in keys]))
+        out.update(disp_vals)
+    if metric in ("default", "motion_only"):
+        keys = [n for n in SUM_NAMES if n != "count"]
+        log("Summary:")
+        log("\n" + _ascii_table(keys, [round(motion_vals[k], 3) for k in keys]))
+        out.update(motion_vals)
+        out["count"] = float(rows[:, base].sum())
     return out

@@ -229,6 +229,11 @@ class StereoVideoDataset:
     def __len__(self):
         return len(self.clips)
 
+    def sequence_name(self, idx: int) -> str:
+        """Clip name without loading any data (first frame's filename,
+        the reference's per-sequence key — custom_stereo_mf.py show_result)."""
+        return self.clips[idx][0]["filename"]
+
     def _path(self, p: Optional[str]) -> Optional[str]:
         if p is None or p == "None":
             return None

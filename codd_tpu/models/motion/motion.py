@@ -42,6 +42,10 @@ class Motion(nn.Module):
 
     iters: int = 16
     ds_scale: int = 4
+    # inference splat backend: "xla" (sort/scan/compaction) or "pallas"
+    # (ops/pallas/splat_composite tile kernel).  Training always uses the
+    # differentiable xla path.
+    splat_impl: str = "xla"
     # The reference splats the previous *image* too (motion.py:185), but
     # nothing downstream ever reads it (fusion.py:366 unpacks and drops
     # it), so by default we skip those 3 full-res channels.  Set True for
@@ -84,9 +88,10 @@ class Motion(nn.Module):
         X1 = inv_project(depth_prev, intrinsics)
         X2 = se3.act(Ts, X1)
         nch = to_proj.shape[-1]
+        impl = "xla" if train_mode else self.splat_impl
         warped, zbuf = splat_render(
             X2.reshape(B, -1, 3), to_proj.reshape(B, -1, nch), intrinsics,
-            H=H, W=W, radius_px=1.0)
+            H=H, W=W, radius_px=1.0, impl=impl)
         if self.warp_image:
             img_warp = warped[..., :3]
             flow_warp = warped[..., 3:6]
@@ -109,7 +114,7 @@ class Motion(nn.Module):
         C = memory_feat.shape[-1]
         feat_warp, _ = splat_render(
             X2l.reshape(B, -1, 3), memory_feat.reshape(B, -1, C), intr_lr,
-            H=H // s, W=W // s, radius_px=2.0)
+            H=H // s, W=W // s, radius_px=2.0, impl=impl)
 
         memory5 = (img_warp, feat_warp, confidence_warp, disp_warp, flow_warp)
         return memory5, raft_out, fmap_curr, netinp_curr

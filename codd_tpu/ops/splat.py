@@ -177,11 +177,104 @@ def _splat_one(points, features, intrinsics, H, W, radius_px,
     return out.reshape(H, W, C), zbuf.reshape(H, W)
 
 
+def _project_fragments(points, features, intrinsics, H, W, radius_px,
+                       pixel_center_offset, npix_sentinel):
+    """points (N,3), features (N,C) -> flat fragment arrays (N*K,).
+
+    Culled fragments (alpha<=0, out of image, invalid z) get
+    pid = npix_sentinel so they sort to the end."""
+    f32 = jnp.float32
+    N, C = features.shape
+    R = int(math.ceil(radius_px))
+    K = (2 * R) ** 2
+
+    fx, fy, cx, cy = intrinsics
+    X, Y, Z = points[:, 0], points[:, 1], points[:, 2]
+    zvalid = Z > 1e-4
+    zs = jnp.where(zvalid, Z, 1.0)
+    x = fx * (X / zs) + cx + pixel_center_offset
+    y = fy * (Y / zs) + cy + pixel_center_offset
+
+    offs = jnp.arange(-(R - 1), R + 1)
+    dy, dx = jnp.meshgrid(offs, offs, indexing="ij")
+    dx = dx.reshape(-1)
+    dy = dy.reshape(-1)
+    bx = jnp.floor(x).astype(jnp.int32)
+    by = jnp.floor(y).astype(jnp.int32)
+    px = bx[:, None] + dx[None, :]  # (N,K)
+    py = by[:, None] + dy[None, :]
+
+    d2 = (px.astype(f32) - x[:, None]) ** 2 + (py.astype(f32) - y[:, None]) ** 2
+    alpha = 1.0 - d2 / (radius_px * radius_px)
+    ok = ((alpha > 0) & (px >= 0) & (px < W) & (py >= 0) & (py < H)
+          & zvalid[:, None])
+    pid = jnp.where(ok, py * W + px, npix_sentinel).reshape(-1)
+    alpha = jnp.where(ok, jnp.clip(alpha, 0.0, 1.0 - 1e-4), 0.0).reshape(-1)
+    zfrag = jnp.broadcast_to(Z[:, None], (N, K)).reshape(-1)
+    ffrag = jnp.broadcast_to(features[:, None], (N, K, C)).reshape(-1, C)
+    return pid, alpha, zfrag, ffrag, Z
+
+
+def _splat_one_pallas(points, features, intrinsics, H, W, radius_px,
+                      points_per_pixel, pixel_center_offset):
+    """Sort fragments once, then composite with the Pallas tile kernel
+    (ops/pallas/splat_composite.py) — no dummy rows, no second sort, no
+    global cumsum.  Inference path (the kernel has no VJP)."""
+    from .pallas.splat_composite import TILE_PX, WMAX, composite_tiles
+
+    out_dtype = features.dtype
+    points = points.astype(jnp.float32)
+    features = features.astype(jnp.float32)
+    intrinsics = intrinsics.astype(jnp.float32)
+    C = features.shape[1]
+    npix = H * W
+    npix_pad = -(-npix // TILE_PX) * TILE_PX
+    T = npix_pad // TILE_PX
+
+    pid, alpha, zfrag, ffrag, Z = _project_fragments(
+        points, features, intrinsics, H, W, radius_px, pixel_center_offset,
+        npix_pad)
+
+    z_bits = 32 - int(npix_pad).bit_length()
+    assert z_bits >= 8, "image too large for packed splat keys"
+    zq = _quantize_z(Z, z_bits)
+    N, K = points.shape[0], pid.shape[0] // points.shape[0]
+    key = (pid.astype(jnp.uint32) << z_bits) | jnp.broadcast_to(
+        zq[:, None], (N, K)).reshape(-1)
+
+    ops = [key, alpha, zfrag] + [ffrag[:, c] for c in range(C)]
+    sorted_ops = jax.lax.sort(tuple(ops), dimension=0, num_keys=1,
+                              is_stable=False)
+    pid_s = (sorted_ops[0] >> z_bits).astype(jnp.int32)
+    alpha_s, z_s = sorted_ops[1], sorted_ops[2]
+    feat_s = jnp.stack(sorted_ops[3:], axis=0)  # (C, M)
+
+    # pad with WMAX sentinel rows so window DMAs stay in bounds
+    pid_p = jnp.concatenate(
+        [pid_s, jnp.full((WMAX,), npix_pad, jnp.int32)])[None]
+    alpha_p = jnp.concatenate([alpha_s, jnp.zeros((WMAX,), jnp.float32)])[None]
+    z_p = jnp.concatenate([z_s, jnp.zeros((WMAX,), jnp.float32)])[None]
+    feat_p = jnp.concatenate(
+        [feat_s, jnp.zeros((C, WMAX), jnp.float32)], axis=1)
+
+    boundaries = jnp.arange(T + 1, dtype=jnp.int32) * TILE_PX
+    offsets = jnp.searchsorted(pid_s, boundaries, side="left").astype(
+        jnp.int32)
+
+    interpret = jax.devices()[0].platform != "tpu"
+    out, zbuf, cnt = composite_tiles(
+        pid_p, alpha_p, z_p, feat_p, offsets, npix_pad,
+        points_per_pixel=points_per_pixel, interpret=interpret)
+    out = out[:npix].astype(out_dtype).reshape(H, W, C)
+    zbuf = jnp.where(cnt[:npix] > 0, zbuf[:npix], 0.0).astype(out_dtype)
+    return out, zbuf.reshape(H, W)
+
+
 @partial(jax.jit, static_argnames=("H", "W", "radius_px", "points_per_pixel",
-                                   "pixel_center_offset"))
+                                   "pixel_center_offset", "impl"))
 def splat_render(points, features, intrinsics, H: int, W: int,
                  radius_px: float = 1.0, points_per_pixel: int = 8,
-                 pixel_center_offset: float = 0.0):
+                 pixel_center_offset: float = 0.0, impl: str = "xla"):
     """Render a batched point cloud into (features, zbuf) images.
 
     Args:
@@ -193,18 +286,22 @@ def splat_render(points, features, intrinsics, H: int, W: int,
         == 1 px at full res; 4.0 == 2 px at 1/4 res).
       pixel_center_offset: 0.0 for integer pixel centers (self-consistent
         grid), -0.5 to reproduce pytorch3d's half-integer screen convention.
+      impl: "xla" (differentiable sort/scan/compaction pipeline) or
+        "pallas" (fused tile compositor — faster, forward-only; used by the
+        inference path).
 
     Returns:
       (B, H, W, C) composited features, (B, H, W) nearest-surface depth
       (0 where nothing landed).
     """
+    one = _splat_one_pallas if impl == "pallas" else _splat_one
     B = points.shape[0]
     outs, zbufs = [], []
     # unrolled over batch: flat 1-D sorts are ~9x faster than the batched
     # 2-D sorts a vmap would produce
     for b in range(B):
-        o, z = _splat_one(points[b], features[b], intrinsics[b], H, W,
-                          radius_px, points_per_pixel, pixel_center_offset)
+        o, z = one(points[b], features[b], intrinsics[b], H, W,
+                   radius_px, points_per_pixel, pixel_center_offset)
         outs.append(o)
         zbufs.append(z)
     return jnp.stack(outs), jnp.stack(zbufs)

@@ -17,7 +17,11 @@ def parse_args():
     p.add_argument("config")
     p.add_argument("checkpoint", nargs="?", default=None,
                    help="orbax checkpoint dir (omit for random weights)")
-    p.add_argument("--eval", action="store_true")
+    p.add_argument("--eval", nargs="?", const="default", default=None,
+                   choices=["default", "disp_only", "motion_only"],
+                   help="compute metric tables; optional mode selects the "
+                        "table set (reference evaluate(metric=...), "
+                        "custom_stereo_mf.py:432-458)")
     p.add_argument("--show-dir", default=None)
     p.add_argument("--num-frames", type=int, default=None,
                    help="cap the number of sequences (reference --num-frames)")
@@ -73,8 +77,9 @@ def main():
         params = bf16_params(params)
 
     metrics = run_inference(model, params, dataset,
-                            evaluate=args.eval and not args.show_dir,
-                            show_dir=args.show_dir, out_csv=args.out_csv)
+                            evaluate=bool(args.eval) and not args.show_dir,
+                            show_dir=args.show_dir, out_csv=args.out_csv,
+                            metric=args.eval or "default")
     if metrics:
         print({k: round(v, 4) for k, v in metrics.items()})
 

@@ -156,6 +156,46 @@ def test_splat_matches_bruteforce_compositor():
     np.testing.assert_allclose(zbuf, refz, atol=1e-4)
 
 
+def test_splat_pallas_matches_bruteforce_compositor():
+    """The Pallas tile compositor (interpret mode on CPU) reproduces the
+    per-pixel python compositor exactly (ops/pallas/splat_composite.py)."""
+    rng = np.random.RandomState(5)
+    H, W, C, N = 10, 12, 2, 60
+    fx = fy = 15.0
+    cx, cy = 5.5, 4.5
+    Z = (0.5 + rng.rand(N) * 5).astype(np.float32)
+    px = rng.uniform(-1, W, N).astype(np.float32)
+    py = rng.uniform(-1, H, N).astype(np.float32)
+    pts = np.stack([(px - cx) / fx * Z, (py - cy) / fy * Z, Z], -1)[None]
+    feats = rng.rand(1, N, C).astype(np.float32)
+    out, zbuf = splat_render(jnp.asarray(pts), jnp.asarray(feats),
+                             jnp.asarray([[fx, fy, cx, cy]], np.float32),
+                             H=H, W=W, radius_px=1.0, impl="pallas")
+    out = np.asarray(out)[0]
+    zbuf = np.asarray(zbuf)[0]
+
+    ref = np.zeros((H, W, C), np.float32)
+    refz = np.zeros((H, W), np.float32)
+    for yy in range(H):
+        for xx in range(W):
+            frags = []
+            for n in range(N):
+                d2 = (px[n] - xx) ** 2 + (py[n] - yy) ** 2
+                a = 1.0 - d2 / 1.0
+                if a > 0:
+                    frags.append((Z[n], min(a, 1 - 1e-4), feats[0, n]))
+            frags.sort(key=lambda t: t[0])
+            t = 1.0
+            acc = np.zeros(C, np.float32)
+            for z, a, f in frags[:8]:
+                acc += t * a * f
+                t *= 1 - a
+            ref[yy, xx] = acc
+            refz[yy, xx] = frags[0][0] if frags else 0.0
+    np.testing.assert_allclose(out, ref, atol=1e-3)
+    np.testing.assert_allclose(zbuf, refz, atol=1e-4)
+
+
 def test_splat_empty_pixels_zero():
     pts = np.zeros((1, 1, 3), np.float32)
     pts[0, 0] = [0, 0, -1.0]  # behind camera -> culled
