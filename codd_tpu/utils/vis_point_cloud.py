@@ -71,6 +71,61 @@ def npz_to_ply(npz_path: str, out_dir: str, intrinsics, calib: float):
     return outs
 
 
+def _render_points(points: np.ndarray, colors: np.ndarray, intrinsics,
+                   size, yaw_deg: float = 0.0) -> np.ndarray:
+    """Painter's-algorithm projection of a colored point cloud to an image
+    (numpy stand-in for the reference's open3d offscreen render,
+    vis_point_cloud.py:76-109; far points draw first, near overwrite)."""
+    W, H = size
+    fx, fy, cx, cy = intrinsics
+    th = np.deg2rad(yaw_deg)
+    R = np.array([[np.cos(th), 0, np.sin(th)],
+                  [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]], np.float32)
+    center = np.median(points, axis=0)
+    p = (points - center) @ R.T + center
+    z = p[:, 2]
+    ok = z > 1e-3
+    p, c, z = p[ok], colors[ok], z[ok]
+    xs = np.round(fx * p[:, 0] / z + cx).astype(int)
+    ys = np.round(fy * p[:, 1] / z + cy).astype(int)
+    ok = (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H)
+    xs, ys, c, z = xs[ok], ys[ok], c[ok], z[ok]
+    order = np.argsort(-z)  # far -> near
+    img = np.zeros((H, W, 3), np.uint8)
+    img[ys[order], xs[order]] = c[order]
+    return img
+
+
+def render_video(npz_paths, out_path: str, intrinsics, calib: float,
+                 size=(960, 540), frame_rate: float = 10.0,
+                 orbit_deg: float = 8.0):
+    """Video mode (reference vis_point_cloud.py:76-109): render each
+    frame's point cloud with a slowly orbiting camera and write an mp4 via
+    cv2.VideoWriter (the same writer the reference uses)."""
+    import cv2
+
+    frames = []
+    n_total = sum(np.load(f)["disp"].shape[0]
+                  if np.load(f)["disp"].ndim == 3 else 1 for f in npz_paths)
+    i = 0
+    for f in npz_paths:
+        disp = np.load(f)["disp"]
+        if disp.ndim == 2:
+            disp = disp[None]
+        for d in disp:
+            pts, col = disparity_to_points(d, intrinsics, calib)
+            yaw = orbit_deg * np.sin(2 * np.pi * i / max(n_total, 1))
+            frames.append(_render_points(pts, col, intrinsics, size, yaw))
+            i += 1
+    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             frame_rate, size, isColor=True)
+    for fr in frames:
+        writer.write(fr[:, :, ::-1])  # RGB -> BGR
+    writer.release()
+    return out_path
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Export predicted disparities "
                                             "as PLY point clouds")
@@ -81,9 +136,18 @@ def main(argv=None):
     p.add_argument("--calib", type=float, default=384.38)
     p.add_argument("--show", action="store_true",
                    help="interactive open3d viewer (if installed)")
+    p.add_argument("--video", default=None,
+                   help="render an orbiting-camera mp4 of the point clouds "
+                        "(reference video mode) to this path")
+    p.add_argument("--frame-rate", type=float, default=10.0)
     args = p.parse_args(argv)
 
     files = sorted(glob.glob(args.pattern))
+    if args.video and files:
+        out = render_video(files, args.video, args.intrinsics, args.calib,
+                           frame_rate=args.frame_rate)
+        print(f"video -> {out}")
+        return
     for f in files:
         outs = npz_to_ply(f, args.out_dir, args.intrinsics, args.calib)
         print(f"{f} -> {len(outs)} ply files")
