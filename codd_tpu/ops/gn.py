@@ -188,6 +188,11 @@ def build_system(Ts, ae, target, weight, depth, intrinsics, radius=32):
         agg = jax.vmap(
             lambda a, v: gn_aggregate(a, v, h, w, radius, True)
         )(aef, vals).reshape(B, h, w, 27)
+    elif (radius is not None and w % _GN_BLOCK == 0
+          and w > 3 * _GN_BLOCK
+          and os.environ.get("CODD_TPU_DENSE_GN") != "1"):
+        agg = _windowed_aggregate(aef.reshape(B, h, w, -1),
+                                  vals.reshape(B, h, w, 27), radius)
     else:
         sq = jnp.sum(aef * aef, axis=-1)
         logits = (2.0 * jnp.einsum("bic,bjc->bij", aef, aef)
@@ -204,6 +209,60 @@ def build_system(Ts, ae, target, weight, depth, intrinsics, radius=32):
     Hmat = _sym_unpack(agg[..., :21])
     bvec = agg[..., 21:]
     return Hmat, bvec
+
+
+_GN_BLOCK = 32  # column block size of the windowed aggregation
+
+
+def _windowed_aggregate(ae, vals, radius):
+    """Column-blocked windowed attention aggregation — identical output to
+    the dense (n, n) path for radius == _GN_BLOCK, without materializing
+    the full score matrix (VERDICT round-1 item 5).
+
+    Queries in a 32-column block only see keys in the 96-column
+    neighborhood [block-32, block+64), so the score tensor shrinks w/96-fold
+    in x (>=2x less peak HBM per GN iteration at KITTI 1/8 res); the
+    y-window mask is applied exactly.  Scores stay f32 by default for
+    bit-parity with the dense path; CODD_TPU_GN_BF16=1 halves score HBM
+    again at ~0.4% relative error.
+
+    ae: (B, h, w, C), vals: (B, h, w, 27).  Returns (B, h, w, 27) f32.
+    """
+    import os
+    sdt = (jnp.bfloat16 if os.environ.get("CODD_TPU_GN_BF16") == "1"
+           else jnp.float32)
+    assert radius == _GN_BLOCK, "windowed path assumes radius == block size"
+    B, h, w, C = ae.shape
+    bs = _GN_BLOCK
+    nb = w // bs
+    win = 3 * bs
+
+    aep = jnp.pad(ae, ((0, 0), (0, 0), (bs, bs), (0, 0)))
+    vp = jnp.pad(vals, ((0, 0), (0, 0), (bs, bs), (0, 0)))
+    # key neighborhoods per block: (B, h, nb, 3*bs, C) — pure slices
+    keys = jnp.stack([aep[:, :, k * bs:k * bs + win] for k in range(nb)],
+                     axis=2)
+    kvals = jnp.stack([vp[:, :, k * bs:k * bs + win] for k in range(nb)],
+                      axis=2)
+    q = ae.reshape(B, h, nb, bs, C)
+
+    qsq = jnp.sum(q * q, axis=-1)                     # (B,h,nb,bs)
+    ksq = jnp.moveaxis(jnp.sum(keys * keys, axis=-1), 1, 2)  # (B,nb,h2,win)
+    logits = (2.0 * jnp.einsum("byqic,bzqjc->byqizj", q, keys)
+              - qsq[..., None, None] - ksq[:, None, :, None])
+    # (B, h, nb, bs, h2, win)
+
+    dy = jnp.abs(jnp.arange(h)[:, None] - jnp.arange(h)[None, :]) <= radius
+    dx = jnp.abs((jnp.arange(bs) + bs)[:, None]
+                 - jnp.arange(win)[None, :]) <= radius
+    mask = (dy[:, None, :, None] & dx[None, :, None, :]
+            ).astype(sdt)  # (h, bs, h2, win) -> broadcast over nb
+    # broadcast mask over (B, nb): (h, bs, h2, win) -> (1, h, 1, bs, h2, win)
+    scores = jax.nn.sigmoid(logits).astype(sdt) * mask[None, :, None, :, :, :]
+
+    agg = jnp.einsum("byqizj,bzqjc->byqic", scores, kvals.astype(sdt),
+                     preferred_element_type=jnp.float32)
+    return agg.reshape(B, h, w, 27)
 
 
 def gn_step(Ts, ae, target, weight, depth, intrinsics, radius=32, lm=1e-4, ep=10.0):

@@ -67,3 +67,31 @@ def test_gn_step_differentiable_and_grad_clip():
     # incoming grad 0.005 < 0.01 -> passes through unchanged
     gc2 = jax.grad(lambda x: jnp.sum(gn.grad_clip(x) * 0.005))(jnp.ones((4,)))
     np.testing.assert_allclose(np.asarray(gc2), 0.005, rtol=1e-5)
+
+
+def test_windowed_aggregate_matches_dense():
+    """Column-blocked windowed GN aggregation == dense (n, n) path
+    (ops/gn.py:_windowed_aggregate; VERDICT round-1 item 5)."""
+    import os
+
+    rng = np.random.RandomState(3)
+    B, h, w, C = 1, 8, 128, 4  # w > 3*32 so the windowed path triggers
+    ae = jnp.asarray(rng.randn(B, h, w, C).astype(np.float32))
+    vals = jnp.asarray(rng.randn(B, h, w, 27).astype(np.float32) * 10)
+
+    agg_win = gn._windowed_aggregate(ae, vals, radius=32)
+
+    n = h * w
+    aef = ae.reshape(B, n, C)
+    sq = jnp.sum(aef * aef, axis=-1)
+    logits = (2.0 * jnp.einsum("bic,bjc->bij", aef, aef)
+              - sq[:, :, None] - sq[:, None, :])
+    ys, xs = jnp.divmod(jnp.arange(n), w)
+    inside = ((jnp.abs(ys[:, None] - ys[None, :]) <= 32)
+              & (jnp.abs(xs[:, None] - xs[None, :]) <= 32))
+    scores = jax.nn.sigmoid(logits) * inside[None].astype(jnp.float32)
+    agg_dense = jnp.einsum("bij,bjc->bic", scores,
+                           vals.reshape(B, n, 27)).reshape(B, h, w, 27)
+
+    np.testing.assert_allclose(np.asarray(agg_win), np.asarray(agg_dense),
+                               rtol=1e-4, atol=1e-3)
