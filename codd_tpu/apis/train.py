@@ -119,7 +119,10 @@ def train_estimator(
         state = state.replace(params=restore_params(load_from, params))
         log(f"loaded weights from {load_from}")
 
-    step_fn = make_train_step(model, tx, loss_cfg)
+    bf16 = bool(cfg.get("runtime", {}).get("bf16_compute", False))
+    step_fn = make_train_step(model, tx, loss_cfg, bf16_compute=bf16)
+    if bf16:
+        log("bf16 compute enabled (f32 master params)")
     # mesh size must divide the per-host batch
     n_dev = len(jax.local_devices())
     while batch_size % n_dev:

@@ -116,6 +116,11 @@ class GNIteration(nn.Module):
 
     hidden_dim: int = 128
     corr_radius: int = 3
+    # static: emit per-iteration full-res supervision flows (training).
+    # Explicitly gated rather than DCE'd: the remat-wrapped scan kept the
+    # full-res cvx_upsample + induced_flow alive in eval (~every iteration
+    # paid ~2 full-res upsamples it never used).
+    emit_supervision: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
@@ -144,12 +149,13 @@ class GNIteration(nn.Module):
         target = (coords1_xyz + delta).astype(jnp.float32)
         Ts = gn_step(Ts, ae, target, weight, depth1_r8, intr8).astype(Ts.dtype)
 
+        new_carry = (net, Ts, mask, weight, inp, pyramid, depth1_r8, zinv2,
+                     intr8, coords0, depth_prev, intrinsics)
+        if not self.emit_supervision:
+            return new_carry, None
         rev_full = cvx_upsample(8.0 * (target[..., :2] - coords0), mask)
         Ts_up = upsample_se3(Ts, mask)
         est_full, _, _ = induced_flow(Ts_up, depth_prev, intrinsics)
-
-        new_carry = (net, Ts, mask, weight, inp, pyramid, depth1_r8, zinv2,
-                     intr8, coords0, depth_prev, intrinsics)
         ys = {"est": est_full, "rev": rev_full}
         return new_carry, ys
 
@@ -173,23 +179,29 @@ class RAFT3D(nn.Module):
         self.fnet = BasicEncoder(128, name="fnet")
         self.cnet = HRNetSmall(name="cnet")
         self.cnet_out = ResizeConcatConv(128 * 4, name="cnet_out")
-        # remat: recompute each iteration's activations in the backward pass
-        # instead of keeping 16 copies of the GRU/attention intermediates
-        # alive — the scan carry is the only per-iteration residual.
+
+    def _make_scan(self, train_mode: bool):
+        # remat only in training: recompute each iteration's activations in
+        # the backward pass instead of keeping 16 copies alive.  Eval skips
+        # both remat and the per-iteration supervision outputs.
+        body = (nn.remat(GNIteration, prevent_cse=False) if train_mode
+                else GNIteration)
         ScanIter = nn.scan(
-            nn.remat(GNIteration, prevent_cse=False),
+            body,
             variable_broadcast="params",
             split_rngs={"params": False},
             length=self.iters,
         )
-        self.gn_scan = ScanIter(hidden_dim=self.hidden_dim,
-                                corr_radius=self.corr_radius, name="gn_iter")
+        return ScanIter(hidden_dim=self.hidden_dim,
+                        corr_radius=self.corr_radius,
+                        emit_supervision=train_mode, name="gn_iter")
 
     def encode(self, image):
         fmap = self.fnet(image)
         net_inp = self.cnet_out(self.cnet(image))
         return fmap, net_inp
 
+    @nn.compact
     def __call__(
         self,
         image_curr: jnp.ndarray,     # (B, H, W, 3)
@@ -222,7 +234,7 @@ class RAFT3D(nn.Module):
         weight0 = jnp.zeros((B, h8, w8, 3), image_curr.dtype)
         carry0 = (net, Ts0, mask0, weight0, inp, pyramid, depth1_r8, zinv2,
                   intr8, coords0, depth_prev, intrinsics)
-        carry, ys = self.gn_scan(carry0, None)
+        carry, ys = self._make_scan(train_mode)(carry0, None)
         _, Ts, mask, weight = carry[:4]
 
         Ts_up = upsample_se3(Ts, mask)

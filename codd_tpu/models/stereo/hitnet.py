@@ -92,35 +92,35 @@ class HITUNet(nn.Module):
 
 
 def calc_init_cost(feat_l: jnp.ndarray, feat_r_full: jnp.ndarray,
-                   max_disp: int, chunk: int = 32) -> jnp.ndarray:
-    """Matching cost over all disparities as a chunked gather.
+                   max_disp: int) -> jnp.ndarray:
+    """Matching cost over all disparities, gather-free.
 
     feat_l: (B, ht, wt, C) left tile features (one per 4px column).
     feat_r_full: (B, ht, wr, C) right tile features at every column.
-    Returns cost (B, ht, wt, D): ||L_i - R_{4i-d}||_1, zeros-padded gather
-    (out-of-range right features read as 0, matching the reference's
-    zeros-padded nearest grid_sample).
-    """
+    Returns cost (B, ht, wt, D): ||L_i - R_{4i-d}||_1 with out-of-range
+    right features reading 0 (the reference's zeros-padded nearest
+    grid_sample, initialization.py:18-45).
+
+    Formulation: for fixed d the accessed right columns {4j - d : j} are a
+    stride-4 slice of the (left-zero-padded) right features, so the whole
+    volume is D strided slices + fused |L - R| reductions — no gathers,
+    which run far below bandwidth on TPU.  Channels move to the
+    second-minor axis so the lane dimension is the wide wr axis and the
+    C=16 reduction doesn't waste 128-lane tiles."""
     B, ht, wt, C = feat_l.shape
     wr = feat_r_full.shape[2]
     D = max_disp
-    pad = (-D) % chunk
-    xs = 4 * jnp.arange(wt)
 
-    def one_chunk(d0):
-        ds = d0 + jnp.arange(chunk)  # (G,)
-        idx = xs[None, :] - ds[:, None]  # (G, wt)
-        ok = (idx >= 0) & (idx < wr) & (ds[:, None] < D)
-        idxc = jnp.clip(idx, 0, wr - 1)
-        r = jnp.take(feat_r_full, idxc.reshape(-1), axis=2)
-        r = r.reshape(B, ht, chunk, wt, C)
-        r = jnp.where(ok[None, :, :, None], r, 0.0)
-        return jnp.sum(jnp.abs(feat_l[:, :, None] - r), axis=-1)  # (B,ht,G,wt)
-
-    starts = jnp.arange(0, D + pad, chunk)
-    cost = jax.lax.map(one_chunk, starts)  # (n,B,ht,G,wt)
-    cost = jnp.moveaxis(cost, 0, 2).reshape(B, ht, -1, wt)[:, :, :D]
-    return jnp.moveaxis(cost, 2, 3)  # (B, ht, wt, D)
+    # (B, ht, C, w): C on sublanes, width on lanes
+    lT = jnp.moveaxis(feat_l, -1, 2)
+    rT = jnp.moveaxis(feat_r_full, -1, 2)
+    rp = jnp.pad(rT, ((0, 0), (0, 0), (0, 0), (D, 0)))
+    costs = []
+    for d in range(D):
+        sl = jax.lax.slice(rp, (0, 0, 0, D - d), (B, ht, C, D - d + 4 * wt),
+                           (1, 1, 1, 4))
+        costs.append(jnp.sum(jnp.abs(lT - sl), axis=2))  # (B, ht, wt)
+    return jnp.stack(costs, axis=-1)  # (B, ht, wt, D)
 
 
 class _TileConv(nn.Module):
@@ -361,8 +361,13 @@ class HITNetStereo(nn.Module):
     @nn.compact
     def __call__(self, left_img, right_img, train: bool = False):
         backbone = HITUNet(name="backbone")
-        fea_l = backbone(left_img)
-        fea_r = backbone(right_img)
+        # one batched pass over [left; right]: the tiny-channel convs are
+        # layout/bandwidth-bound, so doubling the batch beats two calls
+        # (identical math — the backbone has no cross-batch ops)
+        B = left_img.shape[0]
+        fea_cat = backbone(jnp.concatenate([left_img, right_img], axis=0))
+        fea_l = [f[:B] for f in fea_cat]
+        fea_r = [f[B:] for f in fea_cat]
         init_cv, init_hyps = TileInitialization(
             self.max_disp, name="tile_init")(fea_l, fea_r)
         final_disp, aux = TilePropagation(name="tile_update")(

@@ -66,35 +66,13 @@ def _splat_one(points, features, intrinsics, H, W, radius_px,
     features = features.astype(jnp.float32)
     intrinsics = intrinsics.astype(jnp.float32)
     N, C = features.shape
-    R = int(math.ceil(radius_px))
-    K = (2 * R) ** 2
+    K = (2 * int(math.ceil(radius_px))) ** 2
     npix = H * W
     f32 = jnp.float32
 
-    fx, fy, cx, cy = intrinsics
-    X, Y, Z = points[:, 0], points[:, 1], points[:, 2]
-    zvalid = Z > 1e-4
-    zs = jnp.where(zvalid, Z, 1.0)
-    x = fx * (X / zs) + cx + pixel_center_offset
-    y = fy * (Y / zs) + cy + pixel_center_offset
-
-    # floor-based footprint: taps floor(p) + {-(R-1) .. R} cover every
-    # integer tap within euclidean distance < R of the projection
-    offs = jnp.arange(-(R - 1), R + 1)
-    dy, dx = jnp.meshgrid(offs, offs, indexing="ij")
-    dx = dx.reshape(-1)
-    dy = dy.reshape(-1)
-    bx = jnp.floor(x).astype(jnp.int32)
-    by = jnp.floor(y).astype(jnp.int32)
-    px = bx[:, None] + dx[None, :]  # (N,K)
-    py = by[:, None] + dy[None, :]
-
-    d2 = (px.astype(f32) - x[:, None]) ** 2 + (py.astype(f32) - y[:, None]) ** 2
-    alpha = 1.0 - d2 / (radius_px * radius_px)
-    ok = ((alpha > 0) & (px >= 0) & (px < W) & (py >= 0) & (py < H)
-          & zvalid[:, None])
-    pid = jnp.where(ok, py * W + px, npix).reshape(-1)
-    alpha = jnp.where(ok, jnp.clip(alpha, 0.0, 1.0 - 1e-4), 0.0).reshape(-1)
+    pid, alpha, zfrag, ffrag, Z = _project_fragments(
+        points, features, intrinsics, H, W, radius_px, pixel_center_offset,
+        npix)
 
     # ---- single flat sort, payload carried as value operands ----
     # key = pid (high bits) | quantized-z (low bits).  z quantization only
@@ -106,9 +84,6 @@ def _splat_one(points, features, intrinsics, H, W, radius_px,
     zmask = jnp.uint32((1 << z_bits) - 1)
     key = (pid.astype(jnp.uint32) << z_bits) | jnp.broadcast_to(
         zq[:, None], (N, K)).reshape(-1)
-
-    zfrag = jnp.broadcast_to(Z[:, None], (N, K)).reshape(-1)
-    ffrag = jnp.broadcast_to(features[:, None], (N, K, C)).reshape(-1, C)
 
     # dummy fragment per pixel: guarantees every pid owns a run
     key = jnp.concatenate([

@@ -26,9 +26,12 @@ def _img(h, w, c=3):
     return jnp.asarray(rng.rand(1, h, w, c).astype(np.float32))
 
 
-def main(bf16=False):
+def main(bf16=False, only=None):
     dt = jnp.bfloat16 if bf16 else jnp.float32
     tag = "bf16" if bf16 else "f32"
+
+    def want(name):
+        return only is None or name in only
 
     def cast(t):
         return jax.tree.map(lambda x: x.astype(dt)
@@ -36,36 +39,46 @@ def main(bf16=False):
                             else x, t)
 
     # ---- stereo ----
-    stereo = HITNetStereo(max_disp=320)
     l, r = _img(H, W), _img(H, W)
-    sp = jax.jit(stereo.init)(jax.random.PRNGKey(0), _img(64, 128), _img(64, 128))
-    sp, l, r = cast(sp), cast(l), cast(r)
-    f = lambda a, b: stereo.apply(sp, a, b, train=False)["pred_disp"]
-    print(f"stereo {tag}: {chain_time(f, (l, r), k=4):.1f} ms", flush=True)
+    l, r = cast(l), cast(r)
+    if want("stereo"):
+        stereo = HITNetStereo(max_disp=320)
+        sp = jax.jit(stereo.init)(jax.random.PRNGKey(0), _img(64, 128),
+                                  _img(64, 128))
+        sp = cast(sp)
+        f = lambda a, b: stereo.apply(sp, a, b, train=False)["pred_disp"]
+        print(f"stereo {tag}: {chain_time(f, (l, r), k=4):.1f} ms", flush=True)
 
     # ---- raft encode (frame-0 cache path) ----
-    raft = RAFT3D(iters=16)
-    rp = jax.jit(raft.init)(
-        jax.random.PRNGKey(0), _img(64, 128), jnp.zeros((1, 64, 128)),
-        jnp.zeros((1, 64, 128)), jnp.asarray([[450.0, 450, 64, 32]]))
-    rp = cast(rp)
-    enc = lambda im: raft.apply(rp, im, method=RAFT3D.encode)[0]
-    print(f"raft.encode {tag}: {chain_time(enc, (l,), k=4):.1f} ms", flush=True)
+    if want("raft") or want("encode"):
+        raft = RAFT3D(iters=16)
+        rp = jax.jit(raft.init)(
+            jax.random.PRNGKey(0), _img(64, 128), jnp.zeros((1, 64, 128)),
+            jnp.zeros((1, 64, 128)), jnp.asarray([[450.0, 450, 64, 32]]),
+            jnp.zeros((1, 8, 16, 128)), jnp.zeros((1, 8, 16, 512)))
+        rp = cast(rp)
+        enc = lambda im: raft.apply(rp, im, method=RAFT3D.encode)[0]
+    if want("encode"):
+        print(f"raft.encode {tag}: {chain_time(enc, (l,), k=4):.1f} ms",
+              flush=True)
 
     # ---- raft full (16 GN iters) ----
-    disp = jnp.asarray((rng.rand(1, H, W) * 60 + 2).astype(np.float32))
-    intr = jnp.asarray([[450.0, 450.0, W / 2, H / 2]], jnp.float32)
-    fmap, netinp = jax.jit(enc)(l)[0], None
+    if want("raft"):
+        disp = jnp.asarray((rng.rand(1, H, W) * 60 + 2).astype(np.float32))
+        intr = jnp.asarray([[450.0, 450.0, W / 2, H / 2]], jnp.float32)
 
-    def raft_full(im, dp, dc):
-        fm, ni = raft.apply(rp, im, method=RAFT3D.encode)
-        out, _, _ = raft.apply(rp, im, dp, dc, intr, fm, ni)
-        return out["Ts"]
+        def raft_full(im, dp, dc):
+            fm, ni = raft.apply(rp, im, method=RAFT3D.encode)
+            out, _, _ = raft.apply(rp, im, dp, dc, intr, fm, ni)
+            return out["Ts"]
 
-    dpp = cast(210.0 / disp)
-    print(f"raft full {tag}: {chain_time(raft_full, (l, dpp, dpp), k=3):.1f} ms",
-          flush=True)
+        dpp = cast(210.0 / disp)
+        print(f"raft full {tag}: "
+              f"{chain_time(raft_full, (l, dpp, dpp), k=3):.1f} ms",
+              flush=True)
 
+    if not want("fusion"):
+        return
     # ---- fusion ----
     fus = Fusion(in_channels=24, fusion_channel=32)
     h4, w4 = H // 4, W // 4
@@ -90,4 +103,5 @@ def main(bf16=False):
 
 
 if __name__ == "__main__":
-    main(bf16="--bf16" in sys.argv)
+    only = [a for a in sys.argv[1:] if not a.startswith("--")] or None
+    main(bf16="--bf16" in sys.argv, only=only)
