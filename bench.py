@@ -13,11 +13,16 @@ Baseline: 60 FPS/chip at KITTI 1242x375 (BASELINE.md driver target).
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
 import jax.numpy as jnp
 
 
@@ -70,8 +75,9 @@ def main():
     first = jax.jit(lambda p, l, r, k: model.apply(p, l, r, k,
                                                    method=CODD.first_step))
     step = jax.jit(lambda p, c, l, r, k: model.apply(p, c, l, r, k,
-                                                     method=CODD.step),
-                   donate_argnums=(1,))
+                                                     method=CODD.step))
+    # (carry donation removed: input-output buffer aliasing corrupts
+    # results on the current axon runtime — see trainer.py note)
 
     carry, _ = first(params, left[:, 0], right[:, 0], intr)
     carry = jax.block_until_ready(carry)

@@ -51,8 +51,9 @@ def main():
     first = jax.jit(lambda p, a, b, k: model.apply(p, a, b, k,
                                                    method=CODD.first_step))
     step = jax.jit(lambda p, c, a, b, k: model.apply(p, c, a, b, k,
-                                                     method=CODD.step),
-                   donate_argnums=(1,))
+                                                     method=CODD.step))
+    # (carry donation removed: input-output buffer aliasing corrupts
+    # results on the current axon runtime — see trainer.py note)
 
     carry, out = first(params, lbuf[0], rbuf[0], intr)
     if args.streaming:

@@ -42,10 +42,11 @@ class Motion(nn.Module):
 
     iters: int = 16
     ds_scale: int = 4
-    # inference splat backend: "xla" (sort/scan/compaction) or "pallas"
-    # (ops/pallas/splat_composite tile kernel).  Training always uses the
-    # differentiable xla path.
-    splat_impl: str = "xla"
+    # inference splat backend: "xla_gather" (post-sort row gathers — the
+    # fast forward-only pipeline), "xla" (payload-through-sort), or
+    # "pallas" (ops/pallas/splat_composite tile kernel).  Training always
+    # uses the differentiable "xla" path (scatter-free backward).
+    splat_impl: str = "xla_gather"
     # The reference splats the previous *image* too (motion.py:185), but
     # nothing downstream ever reads it (fusion.py:366 unpacks and drops
     # it), so by default we skip those 3 full-res channels.  Set True for

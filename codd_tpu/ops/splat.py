@@ -10,22 +10,25 @@ Semantics reproduced:
     (nearest surface dominates; up to ``points_per_pixel`` fragments),
   * the returned zbuf is the depth of the nearest fragment (0 where empty).
 
-TPU formulation — **no scatter anywhere, no post-sort gathers**:
+TPU formulation — **no scatter anywhere**:
   1. fragments = (point, footprint-tap) pairs over the tight floor-based
      (2*ceil(r))^2 footprint, plus one zero-alpha dummy fragment per pixel
      so every pixel owns a run;
   2. ONE flat 1-D sort keyed by packed (pixel, quantized-z) orders the
-     fragments; the per-fragment payload (alpha, z, feature channels) rides
-     through the sort as value operands — on TPU extra sort operands are
-     ~free, while a post-sort row gather of the same data costs ~10 ms at
-     2.5M fragments.  Batched (2-D) sorts are ~9x slower than flat 1-D
-     sorts on TPU, so the batch dim is an unrolled python loop, not vmap;
-  3. per-run transmittance = exclusive segment cumsum in log space
-     (global cumsum + gather of the run-start base);
-  4. per-pixel composite = difference of the global inclusive cumsum at
-     run boundaries;
-  5. run-end rows compact to dense pixel order with a second flat sort
-     that again carries the cumsum rows as value operands.
+     fragments; only (alpha, z, fragment-id) ride through the sort as
+     value operands — feature channels are row-gathered post-sort at
+     ``fragment-id >> log2(K)`` (a (N, C) row gather is cheaper than
+     broadcasting C channels to all K taps and carrying them as sort
+     operands).  Batched (2-D) sorts are ~9x slower than flat 1-D sorts
+     on TPU, so the batch dim is an unrolled python loop, not vmap;
+  3. a segmented associative scan (combine resets at run starts) yields
+     in-run transmittance (log space) and in-run rank in one pass;
+  4. a second segmented scan accumulates the weighted feature sums,
+     nearest-z and fragment count *per run* — per-pixel totals are read
+     directly off each run's end row (no global cumsum, no boundary
+     differencing, better f32 accumulation);
+  5. run-end rows compact to dense pixel order with a 2-operand flat sort
+     (key, row-position) followed by one row gather of the scan rows.
 
 Everything is jnp; XLA differentiates it (sorts/gathers have VJPs).
 
@@ -56,12 +59,25 @@ def _quantize_z(z, z_bits):
     return bits >> (32 - z_bits)
 
 
-def _splat_one(points, features, intrinsics, H, W, radius_px,
-               points_per_pixel, pixel_center_offset):
-    """points: (N,3), features: (N,C)."""
+def _seg_add(a, b):
+    """Segmented-sum combine: the flag marks segment starts; sums reset
+    across segment boundaries.  Associative (flag = 'b's range touches a
+    start'), so usable with jax.lax.associative_scan."""
+    fa, va = a
+    fb, vb = b
+    return fa | fb, jax.tree.map(
+        lambda x, y: jnp.where(fb, y, x + y), va, vb)
+
+
+def _splat_one_sort(points, features, intrinsics, H, W, radius_px,
+                    points_per_pixel, pixel_center_offset):
+    """Differentiable variant used by the TRAINING path: the feature
+    channels ride through both sorts as value operands and the per-pixel
+    reduction is a global cumsum + boundary difference.  Costs more HBM
+    than `_splat_one_gather` but its backward pass is sorts/cumsums only —
+    the gather variant's VJP would emit (M,)-row scatter-adds, which
+    serialize on TPU (~150 ms at 0.5M rows)."""
     out_dtype = features.dtype
-    # compositing math is precision-critical: bf16 rounds the alpha clip
-    # (1 - 1e-4) to exactly 1.0, making log1p(-alpha) = -inf
     points = points.astype(jnp.float32)
     features = features.astype(jnp.float32)
     intrinsics = intrinsics.astype(jnp.float32)
@@ -74,13 +90,9 @@ def _splat_one(points, features, intrinsics, H, W, radius_px,
         points, features, intrinsics, H, W, radius_px, pixel_center_offset,
         npix)
 
-    # ---- single flat sort, payload carried as value operands ----
-    # key = pid (high bits) | quantized-z (low bits).  z quantization only
-    # affects the z-ORDER of fragments on the same pixel (ties break
-    # arbitrarily for near-equal depths); exact z and alpha ride along.
     z_bits = 32 - int(npix + 1).bit_length()
     assert z_bits >= 8, "image too large for packed splat keys"
-    zq = _quantize_z(Z, z_bits)  # monotone in Z, < all-ones for finite z
+    zq = _quantize_z(Z, z_bits)
     zmask = jnp.uint32((1 << z_bits) - 1)
     key = (pid.astype(jnp.uint32) << z_bits) | jnp.broadcast_to(
         zq[:, None], (N, K)).reshape(-1)
@@ -109,31 +121,19 @@ def _splat_one(points, features, intrinsics, H, W, radius_px,
     rank = pos - seg_start
 
     # front-to-back transmittance (exclusive in-segment cumprod of 1-alpha)
-    # via a segmented scan — the combine resets at segment starts, avoiding
-    # a 2.5M-element gather of the run-start base (~16 ms on TPU)
     log_t = jnp.log1p(-alpha_s)
-
-    def _seg_add(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb, vb, va + vb)
-
     _, seg_incl = jax.lax.associative_scan(_seg_add, (start, log_t))
     transmittance = jnp.exp(seg_incl - log_t)
 
     wgt = (alpha_s * transmittance
            * (rank < points_per_pixel) * real).astype(f32)
 
-    # channels to reduce per pixel: weighted features, nearest-z (only the
-    # run head can carry it), and the real-fragment count (emptiness flag)
     zhead = jnp.where(start & real, z_s, 0.0)[:, None]
     cnt = real.astype(f32)[:, None]
     stacked = jnp.concatenate([feat_s * wgt[:, None], zhead, cnt], axis=-1)
     S = jnp.cumsum(stacked, axis=0)  # (M, C+2) global inclusive cumsum
 
-    # run-end compaction: each pid owns exactly one run end; a second flat
-    # sort (again carrying the cumsum rows as values) brings the end rows
-    # into dense pixel order
+    # run-end compaction via a second flat sort carrying the cumsum rows
     is_end = jnp.concatenate([pid_s[1:] != pid_s[:-1], jnp.ones((1,), bool)])
     key2 = jnp.where(is_end, pid_s, npix)
     sorted2 = jax.lax.sort(
@@ -141,8 +141,6 @@ def _splat_one(points, features, intrinsics, H, W, radius_px,
         dimension=0, num_keys=1, is_stable=False)
     S_end = jnp.stack(sorted2[1:], axis=-1)[:npix]  # (npix, C+2) pixel order
 
-    # runs are contiguous in pid order, so prev pixel's end is this run's
-    # exclusive base
     S_prevend = jnp.concatenate(
         [jnp.zeros((1, C + 2), f32), S_end[:-1]], axis=0)
     totals = S_end - S_prevend
@@ -152,12 +150,105 @@ def _splat_one(points, features, intrinsics, H, W, radius_px,
     return out.reshape(H, W, C), zbuf.reshape(H, W)
 
 
+def _splat_one_gather(points, features, intrinsics, H, W, radius_px,
+                      points_per_pixel, pixel_center_offset):
+    """points: (N,3), features: (N,C).  Inference variant (fewest sorted
+    bytes; its VJP would contain serializing scatters — training uses
+    `_splat_one_sort`)."""
+    out_dtype = features.dtype
+    # compositing math is precision-critical: bf16 rounds the alpha clip
+    # (1 - 1e-4) to exactly 1.0, making log1p(-alpha) = -inf
+    points = points.astype(jnp.float32)
+    features = features.astype(jnp.float32)
+    intrinsics = intrinsics.astype(jnp.float32)
+    N, C = features.shape
+    K = (2 * int(math.ceil(radius_px))) ** 2
+    npix = H * W
+    f32 = jnp.float32
+
+    pid, alpha, zfrag, _, Z = _project_fragments(
+        points, features, intrinsics, H, W, radius_px, pixel_center_offset,
+        npix, materialize_features=False)
+
+    # ---- single flat sort; features do NOT ride through the sort ----
+    # key = pid (high bits) | quantized-z (low bits).  z quantization only
+    # affects the z-ORDER of fragments on the same pixel (ties break
+    # arbitrarily for near-equal depths); exact z and alpha ride along.
+    z_bits = 32 - int(npix + 1).bit_length()
+    assert z_bits >= 8, "image too large for packed splat keys"
+    zq = _quantize_z(Z, z_bits)  # monotone in Z, < all-ones for finite z
+    zmask = jnp.uint32((1 << z_bits) - 1)
+    key = (pid.astype(jnp.uint32) << z_bits) | jnp.broadcast_to(
+        zq[:, None], (N, K)).reshape(-1)
+
+    # dummy fragment per pixel: guarantees every pid owns a run.  Dummy
+    # fid points at source row 0 but its weight is always 0 (alpha = 0).
+    key = jnp.concatenate([
+        key, (jnp.arange(npix, dtype=jnp.uint32) << z_bits) | zmask])
+    alpha = jnp.concatenate([alpha, jnp.zeros((npix,), f32)])
+    zfrag = jnp.concatenate([zfrag, jnp.zeros((npix,), f32)])
+    fid = jnp.concatenate([jnp.arange(N * K, dtype=jnp.uint32),
+                           jnp.zeros((npix,), jnp.uint32)])
+
+    key_s, alpha_s, z_s, fid_s = jax.lax.sort(
+        (key, alpha, zfrag, fid), dimension=0, num_keys=1, is_stable=False)
+    M = key_s.shape[0]
+    pid_s = (key_s >> z_bits).astype(jnp.int32)
+    real = (pid_s < npix) & (alpha_s > 0)
+
+    start = jnp.concatenate([jnp.ones((1,), bool), pid_s[1:] != pid_s[:-1]])
+
+    # pass 1 — segmented scan: in-run transmittance (log space) + in-run
+    # rank, one combined pass (the combine resets at run starts)
+    log_t = jnp.log1p(-alpha_s)
+    ones = jnp.ones((M,), f32)
+    _, (seg_logt, seg_cnt) = jax.lax.associative_scan(
+        _seg_add, (start, (log_t, ones)))
+    transmittance = jnp.exp(seg_logt - log_t)
+    rank = seg_cnt - 1.0
+
+    wgt = (alpha_s * transmittance
+           * (rank < points_per_pixel) * real).astype(f32)
+
+    # features: one (N, C) row gather at the fragment's source point —
+    # cheaper than broadcasting C channels over K taps and sorting them
+    feat_s = jnp.take(features, (fid_s // K).astype(jnp.int32), axis=0)
+
+    # pass 2 — segmented scan of the per-pixel reduction channels: weighted
+    # features, nearest-z (only the run head carries it), real count.  The
+    # run-END row then holds the per-pixel totals directly (per-run f32
+    # accumulation; no global cumsum / boundary differencing).
+    zhead = jnp.where(start & real, z_s, 0.0)[:, None]
+    cnt = real.astype(f32)[:, None]
+    stacked = jnp.concatenate([feat_s * wgt[:, None], zhead, cnt], axis=-1)
+    flags = jnp.broadcast_to(start[:, None], stacked.shape)
+    _, S = jax.lax.associative_scan(_seg_add, (flags, stacked), axis=0)
+
+    # run-end compaction: each pid owns exactly one run end; a 2-operand
+    # flat sort (key, row position) brings end rows into dense pixel
+    # order, then one row gather pulls their scan rows
+    is_end = jnp.concatenate([pid_s[1:] != pid_s[:-1], jnp.ones((1,), bool)])
+    key2 = jnp.where(is_end, pid_s, npix)
+    _, pos_end = jax.lax.sort(
+        (key2, jnp.arange(M, dtype=jnp.uint32)),
+        dimension=0, num_keys=1, is_stable=False)
+    totals = jnp.take(S, pos_end[:npix].astype(jnp.int32), axis=0)
+
+    out = totals[:, :C].astype(out_dtype)
+    zbuf = jnp.where(totals[:, C + 1] > 0, totals[:, C], 0.0).astype(out_dtype)
+
+    return out.reshape(H, W, C), zbuf.reshape(H, W)
+
+
 def _project_fragments(points, features, intrinsics, H, W, radius_px,
-                       pixel_center_offset, npix_sentinel):
+                       pixel_center_offset, npix_sentinel,
+                       materialize_features=True):
     """points (N,3), features (N,C) -> flat fragment arrays (N*K,).
 
     Culled fragments (alpha<=0, out of image, invalid z) get
-    pid = npix_sentinel so they sort to the end."""
+    pid = npix_sentinel so they sort to the end.  With
+    ``materialize_features=False`` the (N*K, C) feature broadcast is
+    skipped (callers gather rows post-sort instead) and ffrag is None."""
     f32 = jnp.float32
     N, C = features.shape
     R = int(math.ceil(radius_px))
@@ -186,7 +277,10 @@ def _project_fragments(points, features, intrinsics, H, W, radius_px,
     pid = jnp.where(ok, py * W + px, npix_sentinel).reshape(-1)
     alpha = jnp.where(ok, jnp.clip(alpha, 0.0, 1.0 - 1e-4), 0.0).reshape(-1)
     zfrag = jnp.broadcast_to(Z[:, None], (N, K)).reshape(-1)
-    ffrag = jnp.broadcast_to(features[:, None], (N, K, C)).reshape(-1, C)
+    if materialize_features:
+        ffrag = jnp.broadcast_to(features[:, None], (N, K, C)).reshape(-1, C)
+    else:
+        ffrag = None
     return pid, alpha, zfrag, ffrag, Z
 
 
@@ -261,15 +355,19 @@ def splat_render(points, features, intrinsics, H: int, W: int,
         == 1 px at full res; 4.0 == 2 px at 1/4 res).
       pixel_center_offset: 0.0 for integer pixel centers (self-consistent
         grid), -0.5 to reproduce pytorch3d's half-integer screen convention.
-      impl: "xla" (differentiable sort/scan/compaction pipeline) or
-        "pallas" (fused tile compositor — faster, forward-only; used by the
-        inference path).
+      impl: "xla" (differentiable: payload rides the sorts; scatter-free
+        backward — the TRAINING path), "xla_gather" (fewest sorted bytes:
+        2-pass segmented scans + post-sort row gathers; fastest forward —
+        the inference path), or "pallas" (fused tile compositor,
+        forward-only).
 
     Returns:
       (B, H, W, C) composited features, (B, H, W) nearest-surface depth
       (0 where nothing landed).
     """
-    one = _splat_one_pallas if impl == "pallas" else _splat_one
+    one = {"pallas": _splat_one_pallas,
+           "xla_gather": _splat_one_gather,
+           "xla": _splat_one_sort}[impl]
     B = points.shape[0]
     outs, zbufs = [], []
     # unrolled over batch: flat 1-D sorts are ~9x faster than the batched

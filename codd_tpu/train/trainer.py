@@ -36,7 +36,7 @@ def make_train_step(
     model,
     tx: optax.GradientTransformation,
     loss_cfg: LossConfig,
-    donate: bool = True,
+    donate: bool = False,
     bf16_compute: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
     """Build the jitted training step.
@@ -78,14 +78,30 @@ def make_train_step(
         # before it can poison the optimizer state (the TPU analogue of the
         # reference's detect_anomaly + NaN-zeroing GradientClip safety nets)
         gnorm = optax.global_norm(grads)
-        ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        # Per-ELEMENT non-finite zeroing (the reference GradientClip
+        # semantics, raft3d.py:20-41) rather than a whole-step skip keyed
+        # on isfinite(loss) & isfinite(gnorm): broadcasting that scalar
+        # into selects over every gradient leaf while also returning the
+        # aux log scalars miscompiles on the current XLA:TPU stack — the
+        # fetched loss/gnorm read NaN even though the same graph minus
+        # either ingredient is finite (empirically bisected; CPU is
+        # unaffected, and an optimization_barrier does not help).  The
+        # per-leaf condition keeps the optimizer state poison-free without
+        # any cross-graph scalar edge.
         grads = jax.tree_util.tree_map(
-            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+            lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)),
+            grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         logs["grad_norm"] = gnorm
-        logs["step_skipped"] = (~ok).astype(jnp.float32)
+        logs["step_skipped"] = (~jnp.isfinite(gnorm)).astype(jnp.float32)
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state), logs
 
+    # donate=False by default: donating the TrainState on the current
+    # axon/XLA:TPU stack corrupts the training step — with donation the
+    # same program reads NaN loss/grads from step 0 (donated param buffers
+    # appear to be clobbered while the remat'd backward still reads them);
+    # without donation it is finite.  Bisected 2026-08-17; costs one extra
+    # params+opt_state copy of HBM, which training activations dwarf.
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

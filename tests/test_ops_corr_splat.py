@@ -114,7 +114,8 @@ def test_splat_occlusion_nearest_wins():
     assert np.asarray(out)[0, 2, 2, 0] < 1.2
 
 
-def test_splat_matches_bruteforce_compositor():
+@pytest.mark.parametrize("impl", ["xla", "xla_gather"])
+def test_splat_matches_bruteforce_compositor(impl):
     """Random fractional points vs a per-pixel python compositor."""
     rng = np.random.RandomState(5)
     H, W, C, N = 10, 12, 2, 60
@@ -129,7 +130,7 @@ def test_splat_matches_bruteforce_compositor():
     feats = rng.rand(1, N, C).astype(np.float32)
     out, zbuf = splat_render(jnp.asarray(pts), jnp.asarray(feats),
                              jnp.asarray([[fx, fy, cx, cy]], np.float32),
-                             H=H, W=W, radius_px=1.0)
+                             H=H, W=W, radius_px=1.0, impl=impl)
     out = np.asarray(out)[0]
     zbuf = np.asarray(zbuf)[0]
 
