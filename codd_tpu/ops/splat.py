@@ -196,16 +196,18 @@ def _splat_one_gather(points, features, intrinsics, H, W, radius_px,
     pid_s = (key_s >> z_bits).astype(jnp.int32)
     real = (pid_s < npix) & (alpha_s > 0)
 
+    pos = jnp.arange(M)
     start = jnp.concatenate([jnp.ones((1,), bool), pid_s[1:] != pid_s[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(start, pos, 0))
+    rank = pos - seg_start
 
-    # pass 1 — segmented scan: in-run transmittance (log space) + in-run
-    # rank, one combined pass (the combine resets at run starts)
+    # in-run transmittance via the 1-D segmented scan (same as the sort
+    # variant; a 2-D segmented scan over the feature channels compiles
+    # pathologically on the TPU backend, so per-pixel totals use the plain
+    # global cumsum + boundary differencing instead)
     log_t = jnp.log1p(-alpha_s)
-    ones = jnp.ones((M,), f32)
-    _, (seg_logt, seg_cnt) = jax.lax.associative_scan(
-        _seg_add, (start, (log_t, ones)))
-    transmittance = jnp.exp(seg_logt - log_t)
-    rank = seg_cnt - 1.0
+    _, seg_incl = jax.lax.associative_scan(_seg_add, (start, log_t))
+    transmittance = jnp.exp(seg_incl - log_t)
 
     wgt = (alpha_s * transmittance
            * (rank < points_per_pixel) * real).astype(f32)
@@ -214,25 +216,24 @@ def _splat_one_gather(points, features, intrinsics, H, W, radius_px,
     # cheaper than broadcasting C channels over K taps and sorting them
     feat_s = jnp.take(features, (fid_s // K).astype(jnp.int32), axis=0)
 
-    # pass 2 — segmented scan of the per-pixel reduction channels: weighted
-    # features, nearest-z (only the run head carries it), real count.  The
-    # run-END row then holds the per-pixel totals directly (per-run f32
-    # accumulation; no global cumsum / boundary differencing).
     zhead = jnp.where(start & real, z_s, 0.0)[:, None]
     cnt = real.astype(f32)[:, None]
     stacked = jnp.concatenate([feat_s * wgt[:, None], zhead, cnt], axis=-1)
-    flags = jnp.broadcast_to(start[:, None], stacked.shape)
-    _, S = jax.lax.associative_scan(_seg_add, (flags, stacked), axis=0)
+    S = jnp.cumsum(stacked, axis=0)  # (M, C+2) global inclusive cumsum
 
     # run-end compaction: each pid owns exactly one run end; a 2-operand
     # flat sort (key, row position) brings end rows into dense pixel
-    # order, then one row gather pulls their scan rows
+    # order, then one row gather pulls their cumsum rows; adjacent-row
+    # differences in pixel order give the per-pixel totals
     is_end = jnp.concatenate([pid_s[1:] != pid_s[:-1], jnp.ones((1,), bool)])
     key2 = jnp.where(is_end, pid_s, npix)
     _, pos_end = jax.lax.sort(
         (key2, jnp.arange(M, dtype=jnp.uint32)),
         dimension=0, num_keys=1, is_stable=False)
-    totals = jnp.take(S, pos_end[:npix].astype(jnp.int32), axis=0)
+    S_end = jnp.take(S, pos_end[:npix].astype(jnp.int32), axis=0)
+    S_prevend = jnp.concatenate(
+        [jnp.zeros((1, C + 2), f32), S_end[:-1]], axis=0)
+    totals = S_end - S_prevend
 
     out = totals[:, :C].astype(out_dtype)
     zbuf = jnp.where(totals[:, C + 1] > 0, totals[:, C], 0.0).astype(out_dtype)
