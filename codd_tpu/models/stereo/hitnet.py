@@ -215,12 +215,51 @@ def _warp_by_disp(fea_r, disp):
 
 
 def tile_warping(hyp3, fea_l, fea_r):
-    """Slant-plane local cost volume -> (B, ht, wt, 48) (propagation.py:61-86)."""
+    """Slant-plane local cost volume -> (B, ht, wt, 48) (propagation.py:61-86).
+
+    The three hypothesis offsets k in {-1, 0, +1} sample fea_r at positions
+    exactly 1 px apart, so their bilinear taps live in FOUR consecutive
+    columns [x0-1, x0+2] (x0 = floor(x - local_d)).  One sliced gather of a
+    (4, C) column block per pixel serves all three warps: 6x fewer gather
+    descriptors and 256-byte contiguous chunks (C=16 f32) instead of the
+    64-byte rows of per-warp 2-tap sampling — TPU gathers need >=256B
+    chunks to run near bandwidth.  Out-of-image taps are masked to zero
+    (torch zeros-padding grid_sample semantics, identical to the previous
+    per-warp path)."""
+    B, H, W, C = fea_r.shape
     d, dx, dy = hyp3[..., 0], hyp3[..., 1], hyp3[..., 2]
+    local_d = to_plane(d, dx, dy, size=4)  # k = 0 plane
+    x, _ = meshgrid_xy(H, W, fea_r.dtype)
+    p = x[None] - local_d  # (B, H, W) sample position for k = 0
+    x0 = jnp.floor(p)
+    f = (p - x0).astype(fea_r.dtype)[..., None]  # (B, H, W, 1)
+
+    # gather the 4-column block; clipping only activates when every tap is
+    # out of image (masked to zero below), so clipped reads never leak
+    fr = jnp.pad(fea_r, ((0, 0), (0, 0), (3, 3), (0, 0)))
+    start = jnp.clip(x0 - 1 + 3, 0, W + 2).astype(jnp.int32)  # (B, H, W)
+    ys = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None, :, None],
+                          (B, H, W))
+    idx = jnp.stack([ys, start], axis=-1).reshape(B, -1, 2)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(0,),
+        start_index_map=(0, 1))
+
+    def gather_one(op, ind):
+        return jax.lax.gather(op, ind, dnums, slice_sizes=(1, 4, C))
+
+    cols = jax.vmap(gather_one)(fr, idx).reshape(B, H, W, 4, C)
+    ok = ((x0[..., None] - 1 + jnp.arange(4.0) >= 0)
+          & (x0[..., None] - 1 + jnp.arange(4.0) <= W - 1))
+    cols = cols * ok[..., None].astype(fea_r.dtype)
+
     cvs = []
-    for k in (-1.0, 0.0, 1.0):
-        local_d = to_plane(d + k, dx, dy, size=4)
-        warped = _warp_by_disp(fea_r, local_d)
+    # k = +1 warps at p-1 -> taps (cols[0], cols[1]); k = 0 -> (1, 2);
+    # k = -1 warps at p+1 -> taps (2, 3); all share the fraction f.
+    # tile_warping's k loop is (-1, 0, +1) == tap starts (2, 1, 0).
+    for j in (2, 1, 0):
+        warped = cols[..., j, :] * (1 - f) + cols[..., j + 1, :] * f
         cv = jnp.sum(jnp.abs(fea_l - warped), axis=-1, keepdims=True)
         cvs.append(pixel_unshuffle(cv, 4))
     return jnp.concatenate(cvs, -1)
