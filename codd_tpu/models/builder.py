@@ -25,6 +25,9 @@ def build_estimator(model_cfg: Dict[str, Any]) -> CODD:
     motion = model_cfg.get("motion")
     fusion = model_cfg.get("fusion")
     train_cfg = model_cfg.get("train_cfg") or {}
+    # numerics-path selectors (formerly CODD_TPU_* env toggles); every
+    # behavioral switch lives in configs, like the reference's configs/**
+    runtime = model_cfg.get("runtime") or {}
 
     max_disp = (stereo.get("initialization", {}).get("max_disp")
                 or stereo.get("max_disp") or 320)
@@ -40,6 +43,9 @@ def build_estimator(model_cfg: Dict[str, Any]) -> CODD:
         freeze_stereo=bool(train_cfg.get("freeze_stereo", False)),
         freeze_motion=bool(train_cfg.get("freeze_motion", False)),
         freeze_fusion=bool(train_cfg.get("freeze_fusion", False)),
+        init_cost_variant=str(runtime.get("init_cost_variant", "auto")),
+        gn_impl=str(runtime.get("gn_impl", "auto")),
+        gn_bf16_scores=bool(runtime.get("gn_bf16_scores", False)),
     )
 
 

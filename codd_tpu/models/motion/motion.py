@@ -52,9 +52,13 @@ class Motion(nn.Module):
     # it), so by default we skip those 3 full-res channels.  Set True for
     # bit-level information-flow parity with the reference.
     warp_image: bool = False
+    gn_impl: str = "auto"        # GN aggregation path (ops.gn.build_system)
+    gn_bf16_scores: bool = False
 
     def setup(self):
-        self.raft3d = RAFT3D(iters=self.iters, name="raft3d")
+        self.raft3d = RAFT3D(iters=self.iters, gn_impl=self.gn_impl,
+                             gn_bf16_scores=self.gn_bf16_scores,
+                             name="raft3d")
 
     def encode(self, image):
         """Frame-0 path: cache features only (reference: raft3d.py:203-206)."""

@@ -121,6 +121,8 @@ class GNIteration(nn.Module):
     # full-res cvx_upsample + induced_flow alive in eval (~every iteration
     # paid ~2 full-res upsamples it never used).
     emit_supervision: bool = False
+    gn_impl: str = "auto"       # GN aggregation path (see ops.gn.build_system)
+    gn_bf16_scores: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
@@ -147,7 +149,9 @@ class GNIteration(nn.Module):
         mask = mask.astype(dt)
         weight = weight.astype(dt)
         target = (coords1_xyz + delta).astype(jnp.float32)
-        Ts = gn_step(Ts, ae, target, weight, depth1_r8, intr8).astype(Ts.dtype)
+        Ts = gn_step(Ts, ae, target, weight, depth1_r8, intr8,
+                     impl=self.gn_impl,
+                     bf16_scores=self.gn_bf16_scores).astype(Ts.dtype)
 
         new_carry = (net, Ts, mask, weight, inp, pyramid, depth1_r8, zinv2,
                      intr8, coords0, depth_prev, intrinsics)
@@ -174,6 +178,8 @@ class RAFT3D(nn.Module):
     corr_levels: int = 4
     corr_radius: int = 3
     hidden_dim: int = 128
+    gn_impl: str = "auto"
+    gn_bf16_scores: bool = False
 
     def setup(self):
         self.fnet = BasicEncoder(128, name="fnet")
@@ -194,7 +200,9 @@ class RAFT3D(nn.Module):
         )
         return ScanIter(hidden_dim=self.hidden_dim,
                         corr_radius=self.corr_radius,
-                        emit_supervision=train_mode, name="gn_iter")
+                        emit_supervision=train_mode,
+                        gn_impl=self.gn_impl,
+                        gn_bf16_scores=self.gn_bf16_scores, name="gn_iter")
 
     def encode(self, image):
         fmap = self.fnet(image)

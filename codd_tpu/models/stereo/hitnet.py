@@ -92,7 +92,7 @@ class HITUNet(nn.Module):
 
 
 def calc_init_cost(feat_l: jnp.ndarray, feat_r_full: jnp.ndarray,
-                   max_disp: int) -> jnp.ndarray:
+                   max_disp: int, variant: str = "auto") -> jnp.ndarray:
     """Matching cost over all disparities, gather-free.
 
     feat_l: (B, ht, wt, C) left tile features (one per 4px column).
@@ -101,23 +101,37 @@ def calc_init_cost(feat_l: jnp.ndarray, feat_r_full: jnp.ndarray,
     right features reading 0 (the reference's zeros-padded nearest
     grid_sample, initialization.py:18-45).
 
-    Formulation: for fixed d the accessed right columns {4j - d : j} are a
-    stride-4 slice of the (left-zero-padded) right features, so the whole
-    volume is D strided slices + fused |L - R| reductions — no gathers,
-    which run far below bandwidth on TPU.  Channels move to the
-    second-minor axis so the lane dimension is the wide wr axis and the
-    C=16 reduction doesn't waste 128-lane tiles."""
+    Two equivalent formulations, selected by ``variant``:
+      * "unrolled" — D strided slices + fused |L - R| reductions; fastest
+        at runtime on TPU but emits O(D) HLO ops per level.
+      * "map"      — a D/4-iteration ``lax.map`` (~150x fewer HLO ops);
+        the right choice where compile time/memory is the constraint
+        (XLA:CPU multi-device dryruns).  Requires D % 4 == 0; falls back
+        to "unrolled" otherwise (e.g. coarsest levels of tiny test
+        configs).
+      * "auto"     — "map" on the CPU backend, "unrolled" elsewhere.
+
+    Formulation notes: for fixed d the accessed right columns {4j - d : j}
+    are a stride-4 slice of the (left-zero-padded) right features, so the
+    whole volume needs no gathers, which run far below bandwidth on TPU.
+    Channels move to the second-minor axis so the lane dimension is the
+    wide wr axis and the C=16 reduction doesn't waste 128-lane tiles."""
     B, ht, wt, C = feat_l.shape
     wr = feat_r_full.shape[2]
     D = max_disp
+
+    if variant == "auto":
+        variant = "map" if jax.default_backend() == "cpu" else "unrolled"
+    if variant == "map" and (D % 4 != 0 or D < 4):
+        variant = "unrolled"
+    assert variant in ("unrolled", "map"), f"bad init-cost variant {variant}"
 
     # (B, ht, C, w): C on sublanes, width on lanes
     lT = jnp.moveaxis(feat_l, -1, 2)
     rT = jnp.moveaxis(feat_r_full, -1, 2)
     rp = jnp.pad(rT, ((0, 0), (0, 0), (0, 0), (D, 0)))
 
-    import os
-    if os.environ.get("CODD_TPU_INIT_COST") != "map":
+    if variant == "unrolled":
         costs = []
         for d in range(D):
             sl = jax.lax.slice(rp, (0, 0, 0, D - d),
@@ -125,10 +139,9 @@ def calc_init_cost(feat_l: jnp.ndarray, feat_r_full: jnp.ndarray,
             costs.append(jnp.sum(jnp.abs(lT - sl), axis=2))  # (B, ht, wt)
         return jnp.stack(costs, axis=-1)  # (B, ht, wt, D)
 
-    # rolled variant (CODD_TPU_INIT_COST=map): identical math with a
-    # D/4-iteration lax.map instead of D unrolled strided slices — ~150x
-    # fewer HLO ops, for compile-memory-constrained environments.  The
-    # accessed column D-d+4j with d = 4k+p folds onto the (w/4, 4)-reshaped
+    # rolled "map" variant: identical math with a D/4-iteration lax.map
+    # instead of D unrolled strided slices.  The accessed column D-d+4j
+    # with d = 4k+p folds onto the (w/4, 4)-reshaped
     # width axis as row D/4-k+j-[p>0], lane (4-p)%4 — one dynamic_slice of
     # wt+1 folded rows covers all four phases of a k.
     need = D + 4 * wt  # columns beyond D+4(wt-1) are never accessed
@@ -172,6 +185,7 @@ class _TileConv(nn.Module):
 
 class TileInitialization(nn.Module):
     max_disp: int = 320
+    init_cost_variant: str = "auto"
 
     @nn.compact
     def __call__(self, fea_l: Sequence[jnp.ndarray], fea_r: Sequence[jnp.ndarray]):
@@ -182,7 +196,8 @@ class TileInitialization(nn.Module):
         costs, hyps = [], []
         for lvl in range(5):
             tl, tr = _TileConv(name=f"tile_conv{names[lvl]}")(fea_l[lvl], fea_r[lvl])
-            cost = calc_init_cost(tl, tr, self.max_disp // divs[lvl])
+            cost = calc_init_cost(tl, tr, self.max_disp // divs[lvl],
+                                  self.init_cost_variant)
             cmin = jnp.min(cost, axis=-1, keepdims=True)
             d0 = jnp.argmin(cost, axis=-1).astype(tl.dtype)[..., None]
             # descriptor input: coarse levels use the tile embedding itself,
@@ -204,8 +219,10 @@ class TileInitialization(nn.Module):
 def _warp_by_disp(fea_r, disp):
     """Sample fea_r at x - disp (bilinear, zeros padding) — propagation.py:35-58.
 
-    Horizontal-only 2-tap sample (see ops.warp._hwarp): half the gather
-    traffic of a generic grid_sample."""
+    Horizontal-only 2-tap sample (see ops.warp._hwarp).  Kept as the test
+    oracle for the fused ``tile_warping`` below
+    (tests/test_stereo.py::test_tile_warping_matches_per_warp_oracle);
+    the production path no longer calls it."""
     from ...ops.warp import _hwarp
 
     B, H, W, _ = fea_r.shape
@@ -428,6 +445,7 @@ class HITNetStereo(nn.Module):
     """Stereo wrapper — the `HITNetMF` equivalent (hitnet.py:14-122)."""
 
     max_disp: int = 320
+    init_cost_variant: str = "auto"
 
     @nn.compact
     def __call__(self, left_img, right_img, train: bool = False):
@@ -440,7 +458,8 @@ class HITNetStereo(nn.Module):
         fea_l = [f[:B] for f in fea_cat]
         fea_r = [f[B:] for f in fea_cat]
         init_cv, init_hyps = TileInitialization(
-            self.max_disp, name="tile_init")(fea_l, fea_r)
+            self.max_disp, self.init_cost_variant,
+            name="tile_init")(fea_l, fea_r)
         final_disp, aux = TilePropagation(name="tile_update")(
             fea_l, fea_r, init_hyps, train=train)
 

@@ -129,7 +129,8 @@ def _sym_unpack(p):
     return out
 
 
-def build_system(Ts, ae, target, weight, depth, intrinsics, radius=32):
+def build_system(Ts, ae, target, weight, depth, intrinsics, radius=32,
+                 impl="auto", bf16_scores=False):
     """Attention-aggregated GN normal equations.
 
     Args:
@@ -137,6 +138,11 @@ def build_system(Ts, ae, target, weight, depth, intrinsics, radius=32):
       target: (B,h,w,3) [x,y,1/z] targets.  weight: (B,h,w,3) per-component
       confidence.  depth: (B,h,w).  intrinsics: (B,4).
       radius: Chebyshev window radius in pixels (None = full attention).
+      impl: "windowed" (column-blocked, HBM-lean — the production path),
+        "dense" (materializes the (n, n) score matrix — the test oracle),
+        or "auto" (windowed when the shape is eligible, else dense).
+      bf16_scores: keep attention scores in bf16 (windowed path only) —
+        halves score HBM at ~0.4% relative error.
 
     Returns (H (B,h,w,6,6), b (B,h,w,6)).
     """
@@ -175,24 +181,19 @@ def build_system(Ts, ae, target, weight, depth, intrinsics, radius=32):
     # value field: 21 unique H entries + 6 b entries
     vals = jnp.concatenate([_sym_pack(M), v], axis=-1).reshape(B, n, 27)
 
-    # attention scores over the (windowed) pixel graph — MXU matmul.
-    # Optional Pallas path (CODD_TPU_PALLAS_GN=1): flash-style fused kernel
-    # that never materializes the (n, n) score matrix in HBM — wins memory
-    # at high resolution; the XLA path fuses better at KITTI scale.
-    import os
-
+    # attention scores over the (windowed) pixel graph — MXU matmul
     aef = ae.astype(f32).reshape(B, n, -1)
-    if os.environ.get("CODD_TPU_PALLAS_GN") == "1" and radius is not None:
-        from .pallas.gn_attention import gn_aggregate
-
-        agg = jax.vmap(
-            lambda a, v: gn_aggregate(a, v, h, w, radius, True)
-        )(aef, vals).reshape(B, h, w, 27)
-    elif (radius is not None and w % _GN_BLOCK == 0
-          and w > 3 * _GN_BLOCK
-          and os.environ.get("CODD_TPU_DENSE_GN") != "1"):
+    windowed_ok = (radius == _GN_BLOCK and w % _GN_BLOCK == 0
+                   and w > 3 * _GN_BLOCK)
+    if impl == "auto":
+        impl = "windowed" if windowed_ok else "dense"
+    if impl == "windowed" and not windowed_ok:
+        impl = "dense"
+    assert impl in ("windowed", "dense"), f"bad GN impl {impl}"
+    if impl == "windowed":
         agg = _windowed_aggregate(aef.reshape(B, h, w, -1),
-                                  vals.reshape(B, h, w, 27), radius)
+                                  vals.reshape(B, h, w, 27), radius,
+                                  bf16_scores=bf16_scores)
     else:
         sq = jnp.sum(aef * aef, axis=-1)
         logits = (2.0 * jnp.einsum("bic,bjc->bij", aef, aef)
@@ -214,7 +215,7 @@ def build_system(Ts, ae, target, weight, depth, intrinsics, radius=32):
 _GN_BLOCK = 32  # column block size of the windowed aggregation
 
 
-def _windowed_aggregate(ae, vals, radius):
+def _windowed_aggregate(ae, vals, radius, bf16_scores=False):
     """Column-blocked windowed attention aggregation — identical output to
     the dense (n, n) path for radius == _GN_BLOCK, without materializing
     the full score matrix (VERDICT round-1 item 5).
@@ -223,14 +224,12 @@ def _windowed_aggregate(ae, vals, radius):
     neighborhood [block-32, block+64), so the score tensor shrinks w/96-fold
     in x (>=2x less peak HBM per GN iteration at KITTI 1/8 res); the
     y-window mask is applied exactly.  Scores stay f32 by default for
-    bit-parity with the dense path; CODD_TPU_GN_BF16=1 halves score HBM
+    bit-parity with the dense path; bf16_scores halves score HBM
     again at ~0.4% relative error.
 
     ae: (B, h, w, C), vals: (B, h, w, 27).  Returns (B, h, w, 27) f32.
     """
-    import os
-    sdt = (jnp.bfloat16 if os.environ.get("CODD_TPU_GN_BF16") == "1"
-           else jnp.float32)
+    sdt = jnp.bfloat16 if bf16_scores else jnp.float32
     assert radius == _GN_BLOCK, "windowed path assumes radius == block size"
     B, h, w, C = ae.shape
     bs = _GN_BLOCK
@@ -265,15 +264,18 @@ def _windowed_aggregate(ae, vals, radius):
     return agg.reshape(B, h, w, 27)
 
 
-def gn_step(Ts, ae, target, weight, depth, intrinsics, radius=32, lm=1e-4, ep=10.0):
+def gn_step(Ts, ae, target, weight, depth, intrinsics, radius=32, lm=1e-4,
+            ep=10.0, impl="auto", bf16_scores=False):
     """One damped Gauss-Newton update of the dense SE3 field.
 
     Mirrors reference se3_field.step_inplace (se3_field.py:150-170):
     ae is pre-scaled by 1/8, damping is ``H + (lm*H + ep) * I``, update is
-    ``exp(dx) * Ts``.
+    ``exp(dx) * Ts``.  ``impl``/``bf16_scores`` select the aggregation
+    path (see build_system).
     """
     ae = ae / 8.0
-    H, b = build_system(Ts, ae, target, weight, depth, intrinsics, radius)
+    H, b = build_system(Ts, ae, target, weight, depth, intrinsics, radius,
+                        impl=impl, bf16_scores=bf16_scores)
     diag = jnp.diagonal(H, axis1=-2, axis2=-1)
     H = H + jnp.zeros_like(H).at[..., jnp.arange(6), jnp.arange(6)].set(lm * diag + ep)
     dx = cholesky_solve_small(H, b)

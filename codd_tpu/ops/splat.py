@@ -23,12 +23,14 @@ TPU formulation — **no scatter anywhere**:
      on TPU, so the batch dim is an unrolled python loop, not vmap;
   3. a segmented associative scan (combine resets at run starts) yields
      in-run transmittance (log space) and in-run rank in one pass;
-  4. a second segmented scan accumulates the weighted feature sums,
-     nearest-z and fragment count *per run* — per-pixel totals are read
-     directly off each run's end row (no global cumsum, no boundary
-     differencing, better f32 accumulation);
-  5. run-end rows compact to dense pixel order with a 2-operand flat sort
-     (key, row-position) followed by one row gather of the scan rows.
+  4. per-pixel totals come from a plain GLOBAL cumsum of the rank-masked
+     weighted contributions (features, nearest-z head, count) — a 2-D
+     per-run segmented scan over the channels compiles pathologically on
+     the TPU backend and was reverted (commit 3e0cdc4);
+  5. run-END rows compact to dense pixel order with a 2-operand flat sort
+     (end-marked pixel key, row position); adjacent differences of the
+     compacted cumsum rows give each pixel's totals
+     (cumsum[end_p] - cumsum[end_{p-1}], dense because of the dummies).
 
 Everything is jnp; XLA differentiates it (sorts/gathers have VJPs).
 

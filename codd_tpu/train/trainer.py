@@ -94,7 +94,11 @@ def make_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         logs["grad_norm"] = gnorm
-        logs["step_skipped"] = (~jnp.isfinite(gnorm)).astype(jnp.float32)
+        # pure log scalar (never feeds grads/params, so it cannot
+        # reintroduce the bisected scalar-into-grad-selects miscompile):
+        # a non-finite loss with finite grads is still a "skipped" step
+        logs["step_skipped"] = (
+            ~(jnp.isfinite(loss) & jnp.isfinite(gnorm))).astype(jnp.float32)
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state), logs
 

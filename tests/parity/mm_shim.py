@@ -194,6 +194,127 @@ class SE3:
 
 
 # ---------------------------------------------------------------------------
+# slow pure-torch lietorch_extras kernels (forward only)
+#
+# The CUDA sources are not available; these re-derive the documented
+# semantics (RAFT-3D: attention-weighted neighborhood GN normal equations,
+# radius-windowed; se3_field.py:115-170 gives the attention formula and
+# the damped-solve wiring) so the reference RAFT3D.forward can run end-to-
+# end on CPU for golden-parity tests (VERDICT r2 missing #3 / task 6).
+# ---------------------------------------------------------------------------
+
+
+def _extras_se3_build_inplace(se3_data, ae, pts, target, weight, intrinsics,
+                              radius=32):
+    """H_i = sum_j a_ij J_j^T W_j J_j ; b_i = sum_j a_ij J_j^T W_j r_j.
+
+    a_ij = sigmoid(-||ae_i - ae_j||^2) over a Chebyshev window of
+    ``radius`` pixels (ae arrives pre-scaled by 1/8, se3_field.py:159).
+    Layouts follow step_inplace (se3_field.py:150-170): se3_data
+    (B,7,h,w), ae (B,C,h,w), pts/target/weight (B,3,h,w), returns
+    H (B,6,6,h,w), b (B,6,1,h,w).
+    """
+    B, _, h, w = se3_data.shape
+    n = h * w
+    EPS = 1e-5
+
+    g = se3_data.permute(0, 2, 3, 1).reshape(B, n, 7)
+    X = pts.permute(0, 2, 3, 1).reshape(B, n, 3)
+    tgt = target.permute(0, 2, 3, 1).reshape(B, n, 3)
+    wgt = weight.permute(0, 2, 3, 1).reshape(B, n, 3)
+
+    Y = _qrot(g[..., 3:], X) + g[..., :3]
+    fx = intrinsics[:, 0].view(B, 1)
+    fy = intrinsics[:, 1].view(B, 1)
+    cx = intrinsics[:, 2].view(B, 1)
+    cy = intrinsics[:, 3].view(B, 1)
+    Yx, Yy, Yz = Y.unbind(-1)
+    Zinv = 1.0 / (Yz + EPS)
+    Z2inv = Zinv * Zinv
+    proj = torch.stack([fx * Yx * Zinv + cx, fy * Yy * Zinv + cy, Zinv], -1)
+    r = tgt - proj
+
+    zero = torch.zeros_like(Zinv)
+    Jpi = torch.stack([
+        torch.stack([fx * Zinv, zero, -fx * Yx * Z2inv], -1),
+        torch.stack([zero, fy * Zinv, -fy * Yy * Z2inv], -1),
+        torch.stack([zero, zero, -Z2inv], -1),
+    ], -2)  # (B,n,3,3)
+    sk = torch.zeros(B, n, 3, 3, dtype=Y.dtype)
+    sk[..., 0, 1] = -Yz; sk[..., 0, 2] = Yy
+    sk[..., 1, 0] = Yz;  sk[..., 1, 2] = -Yx
+    sk[..., 2, 0] = -Yy; sk[..., 2, 1] = Yx
+    J = torch.cat([Jpi, -torch.matmul(Jpi, sk)], -1)  # (B,n,3,6)
+
+    JW = J * wgt.unsqueeze(-1)
+    Hj = torch.einsum("bnki,bnkj->bnij", J, JW)          # (B,n,6,6)
+    bj = torch.einsum("bnki,bnk->bni", J, wgt * r)       # (B,n,6)
+
+    aef = ae.permute(0, 2, 3, 1).reshape(B, n, -1)
+    sq = (aef * aef).sum(-1)
+    dist = (2.0 * torch.matmul(aef, aef.transpose(1, 2))
+            - sq[:, :, None] - sq[:, None, :])
+    A = torch.sigmoid(dist)
+    ys, xs = torch.meshgrid(torch.arange(h), torch.arange(w), indexing="ij")
+    ys = ys.reshape(n); xs = xs.reshape(n)
+    win = ((ys[:, None] - ys[None, :]).abs() <= radius) & \
+          ((xs[:, None] - xs[None, :]).abs() <= radius)
+    A = A * win.to(A.dtype)
+
+    H = torch.einsum("bij,bjkl->bikl", A, Hj)  # (B,n,6,6)
+    b = torch.einsum("bij,bjk->bik", A, bj)    # (B,n,6)
+    H = H.reshape(B, h, w, 6, 6).permute(0, 3, 4, 1, 2).contiguous()
+    b = b.reshape(B, h, w, 6, 1).permute(0, 3, 4, 1, 2).contiguous()
+    return H, b
+
+
+def _extras_cholesky6x6_forward(H, b):
+    """Solve the per-pixel damped 6x6 systems (layouts of step_inplace)."""
+    B = H.shape[0]
+    h, w = H.shape[-2:]
+    Hm = H.permute(0, 3, 4, 1, 2).reshape(-1, 6, 6)
+    bm = b.permute(0, 3, 4, 1, 2).reshape(-1, 6, 1)
+    L = torch.linalg.cholesky(Hm.double())
+    x = torch.cholesky_solve(bm.double(), L).to(H.dtype)
+    x = x.reshape(B, h, w, 6, 1).permute(0, 3, 4, 1, 2).contiguous()
+    return (x,)
+
+
+def _extras_corr_index_forward(volume, coords, radius):
+    """Radius-windowed bilinear lookup into the 4D corr volume.
+
+    volume (B,h1,w1,h2,w2); coords (B,2,h1,w1) in level pixels.  Offsets
+    ordered (dy outer, dx inner) — the convention the JAX rebuild uses
+    (ops/corr.py), so ported GRU weights read channels identically.
+    Out-of-range taps read 0 (zeros-padding bilinear).
+    """
+    B, h1, w1, h2, w2 = volume.shape
+    x = coords[:, 0]; y = coords[:, 1]  # (B,h1,w1)
+    outs = []
+    vol = volume.reshape(B, h1 * w1, h2, w2)
+    pix = torch.arange(h1 * w1).view(1, -1)
+    bidx = torch.arange(B).view(B, 1)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            xi = x + dx
+            yi = y + dy
+            x0 = torch.floor(xi); y0 = torch.floor(yi)
+            fx_ = xi - x0; fy_ = yi - y0
+            acc = torch.zeros(B, h1, w1, dtype=volume.dtype)
+            for oy, wy in ((0, 1 - fy_), (1, fy_)):
+                for ox, wx in ((0, 1 - fx_), (1, fx_)):
+                    xq = (x0 + ox).long()
+                    yq = (y0 + oy).long()
+                    ok = ((xq >= 0) & (xq < w2) & (yq >= 0) & (yq < h2))
+                    xq = xq.clamp(0, w2 - 1).reshape(B, -1)
+                    yq = yq.clamp(0, h2 - 1).reshape(B, -1)
+                    v = vol[bidx, pix, yq, xq].reshape(B, h1, w1)
+                    acc = acc + (wy * wx * ok.to(volume.dtype)) * v
+            outs.append(acc)
+    return (torch.stack(outs, 1),)  # (B,(2r+1)^2,h1,w1)
+
+
+# ---------------------------------------------------------------------------
 # install
 # ---------------------------------------------------------------------------
 

@@ -114,9 +114,12 @@ def test_splat_occlusion_nearest_wins():
     assert np.asarray(out)[0, 2, 2, 0] < 1.2
 
 
+@pytest.mark.parametrize("offset", [0.0, -0.5])
 @pytest.mark.parametrize("impl", ["xla", "xla_gather"])
-def test_splat_matches_bruteforce_compositor(impl):
-    """Random fractional points vs a per-pixel python compositor."""
+def test_splat_matches_bruteforce_compositor(impl, offset):
+    """Random fractional points vs a per-pixel python compositor, under
+    both pixel-center conventions (offset -0.5 = pytorch3d's half-integer
+    screen convention, reference motion.py:106-128)."""
     rng = np.random.RandomState(5)
     H, W, C, N = 10, 12, 2, 60
     fx = fy = 15.0
@@ -130,18 +133,20 @@ def test_splat_matches_bruteforce_compositor(impl):
     feats = rng.rand(1, N, C).astype(np.float32)
     out, zbuf = splat_render(jnp.asarray(pts), jnp.asarray(feats),
                              jnp.asarray([[fx, fy, cx, cy]], np.float32),
-                             H=H, W=W, radius_px=1.0, impl=impl)
+                             H=H, W=W, radius_px=1.0, impl=impl,
+                             pixel_center_offset=offset)
     out = np.asarray(out)[0]
     zbuf = np.asarray(zbuf)[0]
 
-    # brute force: per pixel, gather fragments, sort by z, composite
+    # brute force: per pixel, gather fragments, sort by z, composite.
+    # screen position of point n is px[n] + offset under the convention.
     ref = np.zeros((H, W, C), np.float32)
     refz = np.zeros((H, W), np.float32)
     for yy in range(H):
         for xx in range(W):
             frags = []
             for n in range(N):
-                d2 = (px[n] - xx) ** 2 + (py[n] - yy) ** 2
+                d2 = (px[n] + offset - xx) ** 2 + (py[n] + offset - yy) ** 2
                 a = 1.0 - d2 / 1.0
                 if a > 0:
                     frags.append((Z[n], min(a, 1 - 1e-4), feats[0, n]))

@@ -7,18 +7,21 @@ import jax
 import jax.numpy as jnp
 
 from codd_tpu.models.stereo.hitnet import (
-    HITNetStereo, HITUNet, calc_init_cost,
+    HITNetStereo, HITUNet, _warp_by_disp, calc_init_cost, tile_warping,
 )
+from codd_tpu.ops.upsample import pixel_unshuffle, to_plane
 
 
-def test_calc_init_cost_gather_semantics():
+@pytest.mark.parametrize("variant", ["unrolled", "map"])
+@pytest.mark.parametrize("D", [6, 8])  # 6 exercises the D%4!=0 map fallback
+def test_calc_init_cost_gather_semantics(variant, D):
     rng = np.random.RandomState(0)
     B, ht, wt, C = 1, 3, 5, 4
     wr = 4 * wt
     fl = rng.randn(B, ht, wt, C).astype(np.float32)
     fr = rng.randn(B, ht, wr, C).astype(np.float32)
-    D = 8
-    cost = np.asarray(calc_init_cost(jnp.asarray(fl), jnp.asarray(fr), D))
+    cost = np.asarray(calc_init_cost(jnp.asarray(fl), jnp.asarray(fr), D,
+                                     variant))
     assert cost.shape == (B, ht, wt, D)
     for i in range(wt):
         for d in range(D):
@@ -26,6 +29,37 @@ def test_calc_init_cost_gather_semantics():
             r = fr[0, :, x] if 0 <= x < wr else np.zeros((ht, C), np.float32)
             ref = np.abs(fl[0, :, i] - r).sum(-1)
             np.testing.assert_allclose(cost[0, :, i, d], ref, atol=1e-5)
+
+
+def test_tile_warping_matches_per_warp_oracle():
+    """Fused 4-column tile_warping == the reference's three separate
+    plane-disparity warps (propagation.py:61-86), including out-of-image
+    samples (zeros padding) and exactly-integer disparities (ADVICE r2)."""
+    rng = np.random.RandomState(3)
+    B, H, W, C = 2, 8, 16, 5
+    fea_l = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    fea_r = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    ht, wt = H // 4, W // 4
+    # hypotheses: mix of fractional, exact-integer, and out-of-range disps
+    d = rng.uniform(-3, W + 3, (B, ht, wt)).astype(np.float32)
+    d[0, 0, :] = np.arange(wt, dtype=np.float32)  # integer disparities
+    dx = rng.uniform(-0.5, 0.5, (B, ht, wt)).astype(np.float32)
+    dy = rng.uniform(-0.5, 0.5, (B, ht, wt)).astype(np.float32)
+    hyp3 = jnp.asarray(np.stack([d, dx, dy], axis=-1))
+
+    got = tile_warping(hyp3, fea_l, fea_r)
+
+    # oracle: per-offset horizontal warps at plane disparity + k
+    local_d = to_plane(hyp3[..., 0], hyp3[..., 1], hyp3[..., 2], size=4)
+    cvs = []
+    for k in (-1.0, 0.0, 1.0):
+        warped = _warp_by_disp(fea_r, local_d + k)
+        cv = jnp.sum(jnp.abs(fea_l - warped), axis=-1, keepdims=True)
+        cvs.append(pixel_unshuffle(cv, 4))
+    want = jnp.concatenate(cvs, -1)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
 
 
 def test_backbone_pyramid_shapes():
