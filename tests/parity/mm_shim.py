@@ -385,10 +385,14 @@ def install():
         raise NotImplementedError(
             "lietorch_extras is CUDA-only; parity tests cover sub-modules")
 
-    for fname in ("se3_build", "se3_build_backward", "se3_build_inplace",
-                  "se3_build_inplace_backward", "cholesky6x6_forward",
-                  "cholesky6x6_backward", "corr_index_forward",
-                  "corr_index_backward"):
+    # forward kernels: slow pure-torch re-derivations (above) — enough for
+    # no_grad golden-parity runs of the full reference RAFT3D.forward
+    extras.se3_build_inplace = _extras_se3_build_inplace
+    extras.cholesky6x6_forward = _extras_cholesky6x6_forward
+    extras.corr_index_forward = _extras_corr_index_forward
+    for fname in ("se3_build", "se3_build_backward",
+                  "se3_build_inplace_backward",
+                  "cholesky6x6_backward", "corr_index_backward"):
         setattr(extras, fname, _unavailable)
 
     # ---- reference packages: synthetic parents skip the heavy __init__
