@@ -343,10 +343,12 @@ def _splat_one_pallas(points, features, intrinsics, H, W, radius_px,
 
 
 @partial(jax.jit, static_argnames=("H", "W", "radius_px", "points_per_pixel",
-                                   "pixel_center_offset", "impl"))
+                                   "pixel_center_offset", "impl",
+                                   "batch_mode"))
 def splat_render(points, features, intrinsics, H: int, W: int,
                  radius_px: float = 1.0, points_per_pixel: int = 8,
-                 pixel_center_offset: float = 0.0, impl: str = "xla"):
+                 pixel_center_offset: float = 0.0, impl: str = "xla",
+                 batch_mode: str = "auto"):
     """Render a batched point cloud into (features, zbuf) images.
 
     Args:
@@ -363,6 +365,14 @@ def splat_render(points, features, intrinsics, H: int, W: int,
         2-pass segmented scans + post-sort row gathers; fastest forward —
         the inference path), or "pallas" (fused tile compositor,
         forward-only).
+      batch_mode: "unroll" compiles one flat-sort pipeline per batch entry
+        (flat 1-D sorts are ~9x faster than the batched 2-D sorts a vmap
+        would produce on TPU — the runtime-optimal choice); "vmap"
+        compiles ONE batched pipeline (the compile-time-optimal choice:
+        the unroll multiplies the dominant compile cost of the sort
+        VJP graphs by B, which blows the XLA:CPU compile budget of the
+        multi-device dryrun); "auto" = vmap on the CPU backend, unroll
+        elsewhere.
 
     Returns:
       (B, H, W, C) composited features, (B, H, W) nearest-surface depth
@@ -372,9 +382,16 @@ def splat_render(points, features, intrinsics, H: int, W: int,
            "xla_gather": _splat_one_gather,
            "xla": _splat_one_sort}[impl]
     B = points.shape[0]
+    if batch_mode == "auto":
+        batch_mode = "vmap" if jax.default_backend() == "cpu" else "unroll"
+    if impl == "pallas":
+        batch_mode = "unroll"  # the tile kernel is written per-image
+    if batch_mode == "vmap" and B > 1:
+        return jax.vmap(
+            lambda p, f, i: one(p, f, i, H, W, radius_px, points_per_pixel,
+                                pixel_center_offset)
+        )(points, features, intrinsics)
     outs, zbufs = [], []
-    # unrolled over batch: flat 1-D sorts are ~9x faster than the batched
-    # 2-D sorts a vmap would produce
     for b in range(B):
         o, z = one(points[b], features[b], intrinsics[b], H, W,
                    radius_px, points_per_pixel, pixel_center_offset)

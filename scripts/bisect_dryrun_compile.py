@@ -54,14 +54,14 @@ batch = {
 }
 
 if stage == "init-eager":
-    model = CODD(max_disp=32, iters=1)
+    model = CODD(max_disp=16, iters=1)
     params = model.init(jax.random.PRNGKey(0), left[:1], right[:1], intr[:1])
     jax.block_until_ready(params)
     mark("eager init (B=1) done")
     sys.exit(0)
 
 if stage == "init-jit":
-    model = CODD(max_disp=32, iters=1)
+    model = CODD(max_disp=16, iters=1)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), left, right, intr)
     jax.block_until_ready(params)
     mark("jit init (B=8) done")
@@ -74,12 +74,12 @@ cfgs = {
     "fwd-full": dict(motion_type="Motion", fusion_type="Fusion"),
 }
 kw = cfgs[stage]
-model = CODD(max_disp=32, iters=1, **kw)
+model = CODD(max_disp=16, iters=1, **kw)
 params = model.init(jax.random.PRNGKey(0), left[:1], right[:1], intr[:1])
 mark("eager init done")
 
 mesh = make_mesh(n_devices)
-loss_cfg = LossConfig(max_disp=32, disp_range=(1.0, 210.0),
+loss_cfg = LossConfig(max_disp=16, disp_range=(1.0, 210.0),
                       motion=kw["motion_type"] == "Motion",
                       fusion=kw["fusion_type"] == "Fusion")
 

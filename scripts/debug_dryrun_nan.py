@@ -56,9 +56,11 @@ def _mk_fanin(path, s):
     name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
     if not jnp.issubdtype(s.dtype, jnp.floating):
         return jnp.zeros(s.shape, s.dtype)
-    if name == "scale":
+    # batch_stats var / norm scale start at 1 (var=0 would turn every
+    # BN into a ~1/sqrt(eps) amplifier — the dryrun nan culprit)
+    if name in ("scale", "var"):
         return jnp.ones(s.shape, s.dtype)
-    if name == "bias" or s.ndim <= 1:
+    if name in ("bias", "mean") or s.ndim <= 1:
         return jnp.zeros(s.shape, s.dtype)
     # kernel: lecun-normal (flax default): std = 1/sqrt(fan_in)
     fan_in = int(np.prod(s.shape[:-1]))
