@@ -80,6 +80,7 @@ class CODD(nn.Module):
     init_cost_variant: str = "auto"   # stereo init-cost formulation
     gn_impl: str = "auto"             # GN aggregation path
     gn_bf16_scores: bool = False      # bf16 GN attention scores
+    corr_impl: str = "auto"           # corr pyramid layout (ops.corr)
 
     @property
     def has_motion_net(self):
@@ -95,6 +96,7 @@ class CODD(nn.Module):
         if self.has_motion_net:
             self.motion = Motion(iters=self.iters, gn_impl=self.gn_impl,
                                  gn_bf16_scores=self.gn_bf16_scores,
+                                 corr_impl=self.corr_impl,
                                  name="motion")
         if self.has_fusion_net:
             self.fusion = Fusion(fusion_channel=self.fusion_channel,

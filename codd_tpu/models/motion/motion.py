@@ -54,10 +54,12 @@ class Motion(nn.Module):
     warp_image: bool = False
     gn_impl: str = "auto"        # GN aggregation path (ops.gn.build_system)
     gn_bf16_scores: bool = False
+    corr_impl: str = "auto"      # corr pyramid layout (ops.corr docstring)
 
     def setup(self):
         self.raft3d = RAFT3D(iters=self.iters, gn_impl=self.gn_impl,
                              gn_bf16_scores=self.gn_bf16_scores,
+                             corr_impl=self.corr_impl,
                              name="raft3d")
 
     def encode(self, image):

@@ -180,6 +180,10 @@ class RAFT3D(nn.Module):
     hidden_dim: int = 128
     gn_impl: str = "auto"
     gn_bf16_scores: bool = False
+    # corr pyramid layout: "patch" (differentiable; training), "volume"
+    # (precomputed per-level volumes + slab gathers; fastest inference),
+    # "auto" = volume in eval / patch in train (see ops.corr docstring)
+    corr_impl: str = "auto"
 
     def setup(self):
         self.fnet = BasicEncoder(128, name="fnet")
@@ -224,8 +228,12 @@ class RAFT3D(nn.Module):
         h8, w8 = H // 8, W // 8
 
         fmap_curr = self.fnet(image_curr)
+        corr_impl = self.corr_impl
+        if corr_impl == "auto":
+            corr_impl = "patch" if train_mode else "volume"
         pyramid = corr_ops.build_corr_pyramid(fmap_prev, fmap_curr,
-                                              self.corr_levels)
+                                              self.corr_levels,
+                                              impl=corr_impl)
         net = jnp.tanh(netinp_prev[..., :128])
         inp = nn.relu(netinp_prev[..., 128:])
 

@@ -48,11 +48,13 @@ def _dense_corr_lookup(f1, f2, coords, radius, num_levels):
     return np.concatenate(outs, -1)
 
 
-def test_corr_lookup_matches_dense_volume_oracle():
+@pytest.mark.parametrize("impl", ["patch", "volume"])
+def test_corr_lookup_matches_dense_volume_oracle(impl):
     rng = np.random.RandomState(1)
     f1 = rng.randn(1, 4, 6, 8).astype(np.float32)
     f2 = rng.randn(1, 4, 6, 8).astype(np.float32)
-    pyr = build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=2)
+    pyr = build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=2,
+                             impl=impl, radius=1)
     coords = rng.uniform(-1.5, 7.0, size=(1, 4, 6, 2)).astype(np.float32)
     out = np.asarray(corr_lookup(pyr, jnp.asarray(coords), radius=1))
     ref = _dense_corr_lookup(f1, f2, coords, radius=1, num_levels=2)
