@@ -1,9 +1,10 @@
-# Finetune: constant 2e-5 (reference configs/schedules/schedule_*_finetune.py)
+# Fusion finetune: OneCycle 2e-5, 50k/8 iters
+# (reference configs/schedules/schedule_fusion_finetune.py)
 gpu_factor = 8
 schedule = dict(
-    kind="constant",
+    kind="one_cycle",
     base_lr=2e-5,
-    total_steps=100000 // gpu_factor,
+    total_steps=50000 // gpu_factor,
     grad_clip=1.0,
 )
 evaluation = dict(interval=5000 // gpu_factor)
