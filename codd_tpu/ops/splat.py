@@ -333,7 +333,9 @@ def _splat_one_pallas(points, features, intrinsics, H, W, radius_px,
     offsets = jnp.searchsorted(pid_s, boundaries, side="left").astype(
         jnp.int32)
 
-    interpret = jax.devices()[0].platform != "tpu"
+    # interpret only off-TPU; the axon plugin reports platform "axon" for
+    # the real chip (and supports Mosaic), so match by exclusion of CPU/GPU
+    interpret = jax.devices()[0].platform in ("cpu", "gpu", "cuda", "rocm")
     out, zbuf, cnt = composite_tiles(
         pid_p, alpha_p, z_p, feat_p, offsets, npix_pad,
         points_per_pixel=points_per_pixel, interpret=interpret)
