@@ -120,7 +120,11 @@ def train_estimator(
         log(f"loaded weights from {load_from}")
 
     bf16 = bool(cfg.get("runtime", {}).get("bf16_compute", False))
-    step_fn = make_train_step(model, tx, loss_cfg, bf16_compute=bf16)
+    # microbatch gradient accumulation (schedule.accum_steps): recipe-scale
+    # effective batches on one chip when the full batch does not fit
+    accum = int(cfg.get("schedule", {}).get("accum_steps", 1))
+    step_fn = make_train_step(model, tx, loss_cfg, bf16_compute=bf16,
+                              accum_steps=accum)
     if bf16:
         log("bf16 compute enabled (f32 master params)")
     # mesh size must divide the per-host batch

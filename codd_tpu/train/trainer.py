@@ -38,6 +38,7 @@ def make_train_step(
     loss_cfg: LossConfig,
     donate: bool = False,
     bf16_compute: bool = False,
+    accum_steps: int = 1,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
     """Build the jitted training step.
 
@@ -47,33 +48,70 @@ def make_train_step(
     (reference _parse_losses contract, codd.py:708-711); logs are mean
     across devices automatically (they are computed on sharded data inside
     jit, so XLA emits the psum the reference does by hand at codd.py:716-720).
+
+    ``accum_steps > 1`` splits the batch axis into that many microbatches
+    and averages their gradients before the (single) optimizer update —
+    identical math to the full batch (losses are batch means), with peak
+    activation memory of one microbatch.  Requires B % accum_steps == 0.
     """
 
-    def step_fn(state: TrainState, batch):
+    def micro_loss(params, batch):
         gt_seq = {k: v for k, v in batch.items() if k.startswith("gt_")}
+        l_img, r_img = batch["l_img"], batch["r_img"]
+        if bf16_compute:
+            # mixed precision: f32 master params, bf16 compute (the
+            # autodiff through the cast yields f32 grads); dtype
+            # promotion means both params and images must be cast
+            from ..utils.precision import cast_floats
+            params = cast_floats(params, jnp.bfloat16)
+            l_img = l_img.astype(jnp.bfloat16)
+            r_img = r_img.astype(jnp.bfloat16)
+        outs = model.apply(params, l_img, r_img,
+                           batch["intrinsics"], train=True,
+                           gt_seq=gt_seq or None)
+        if bf16_compute:
+            outs = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
+                outs)
+        return codd_train_loss(loss_cfg, outs, batch)
 
-        def loss_fn(params):
-            l_img, r_img = batch["l_img"], batch["r_img"]
-            if bf16_compute:
-                # mixed precision: f32 master params, bf16 compute (the
-                # autodiff through the cast yields f32 grads); dtype
-                # promotion means both params and images must be cast
-                from ..utils.precision import cast_floats
-                params = cast_floats(params, jnp.bfloat16)
-                l_img = l_img.astype(jnp.bfloat16)
-                r_img = r_img.astype(jnp.bfloat16)
-            outs = model.apply(params, l_img, r_img,
-                               batch["intrinsics"], train=True,
-                               gt_seq=gt_seq or None)
-            if bf16_compute:
-                outs = jax.tree_util.tree_map(
-                    lambda x: x.astype(jnp.float32)
-                    if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
-                    outs)
-            return codd_train_loss(loss_cfg, outs, batch)
+    def step_fn(state: TrainState, batch):
+        if accum_steps == 1:
+            (loss, logs), grads = jax.value_and_grad(
+                micro_loss, has_aux=True)(state.params, batch)
+        else:
+            B = batch["l_img"].shape[0]
+            assert B % accum_steps == 0, (
+                f"batch {B} not divisible by accum_steps {accum_steps}")
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((accum_steps, B // accum_steps)
+                                    + x.shape[1:]), batch)
 
-        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+            def body(carry, mb):
+                (loss, logs), grads = jax.value_and_grad(
+                    micro_loss, has_aux=True)(state.params, mb)
+                acc_loss, acc_logs, acc_grads = carry
+                return (acc_loss + loss,
+                        jax.tree_util.tree_map(jnp.add, acc_logs, logs),
+                        jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+                        ), None
+
+            zeros_like_f32 = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda x: jnp.zeros(x.shape, x.dtype), t)
+            shapes = jax.eval_shape(
+                lambda p, m: jax.value_and_grad(micro_loss, has_aux=True)(
+                    p, m),
+                state.params,
+                jax.tree_util.tree_map(lambda x: x[0], micro))
+            (l0s, log0s), g0s = shapes
+            init = (jnp.zeros(l0s.shape, l0s.dtype), zeros_like_f32(log0s),
+                    zeros_like_f32(g0s))
+            (loss, logs, grads), _ = jax.lax.scan(body, init, micro)
+            inv = 1.0 / accum_steps
+            loss = loss * inv
+            logs = jax.tree_util.tree_map(lambda x: x * inv, logs)
+            grads = jax.tree_util.tree_map(lambda x: x * inv, grads)
         # failure containment: a non-finite loss/grad step becomes a no-op
         # before it can poison the optimizer state (the TPU analogue of the
         # reference's detect_anomaly + NaN-zeroing GradientClip safety nets)
