@@ -15,11 +15,13 @@ TPU formulation — **no scatter anywhere**:
      (2*ceil(r))^2 footprint, plus one zero-alpha dummy fragment per pixel
      so every pixel owns a run;
   2. ONE flat 1-D sort keyed by packed (pixel, quantized-z) orders the
-     fragments; only (alpha, z, fragment-id) ride through the sort as
-     value operands — feature channels are row-gathered post-sort at
-     ``fragment-id >> log2(K)`` (a (N, C) row gather is cheaper than
-     broadcasting C channels to all K taps and carrying them as sort
-     operands).  Batched (2-D) sorts are ~9x slower than flat 1-D sorts
+     fragments; only (alpha, z, source-point-id) ride through the sort as
+     value operands — feature channels are row-gathered post-sort at the
+     point id (a (N, C) row gather is cheaper than broadcasting C
+     channels to all K taps and carrying them as sort operands).
+     Fragments are built tap-major in (K, N) layout so the lane dim is
+     the big N axis (the (N, K=4) layout padded 4 -> 128 lanes, 32x waste).
+     Batched (2-D) sorts are ~9x slower than flat 1-D sorts
      on TPU, so the batch dim is an unrolled python loop, not vmap;
   3. a segmented associative scan (combine resets at run starts) yields
      in-run transmittance (log space) and in-run rank in one pass;
@@ -97,14 +99,14 @@ def _splat_one_sort(points, features, intrinsics, H, W, radius_px,
     zq = _quantize_z(Z, z_bits)
     zmask = jnp.uint32((1 << z_bits) - 1)
     key = (pid.astype(jnp.uint32) << z_bits) | jnp.broadcast_to(
-        zq[:, None], (N, K)).reshape(-1)
+        zq[None, :], (K, N)).reshape(-1)
 
     # dummy fragment per pixel: guarantees every pid owns a run
     key = jnp.concatenate([
         key, (jnp.arange(npix, dtype=jnp.uint32) << z_bits) | zmask])
     alpha = jnp.concatenate([alpha, jnp.zeros((npix,), f32)])
     zfrag = jnp.concatenate([zfrag, jnp.zeros((npix,), f32)])
-    ops = [key, alpha, zfrag] + [ffrag[:, c] for c in range(C)]
+    ops = [key, alpha, zfrag] + list(ffrag)
     zero_feat = jnp.zeros((npix,), f32)
     for c in range(C):
         ops[3 + c] = jnp.concatenate([ops[3 + c], zero_feat])
@@ -181,16 +183,18 @@ def _splat_one_gather(points, features, intrinsics, H, W, radius_px,
     zq = _quantize_z(Z, z_bits)  # monotone in Z, < all-ones for finite z
     zmask = jnp.uint32((1 << z_bits) - 1)
     key = (pid.astype(jnp.uint32) << z_bits) | jnp.broadcast_to(
-        zq[:, None], (N, K)).reshape(-1)
+        zq[None, :], (K, N)).reshape(-1)
 
     # dummy fragment per pixel: guarantees every pid owns a run.  Dummy
-    # fid points at source row 0 but its weight is always 0 (alpha = 0).
+    # pid_src points at source row 0 but its weight is always 0 (alpha = 0).
     key = jnp.concatenate([
         key, (jnp.arange(npix, dtype=jnp.uint32) << z_bits) | zmask])
     alpha = jnp.concatenate([alpha, jnp.zeros((npix,), f32)])
     zfrag = jnp.concatenate([zfrag, jnp.zeros((npix,), f32)])
-    fid = jnp.concatenate([jnp.arange(N * K, dtype=jnp.uint32),
-                           jnp.zeros((npix,), jnp.uint32)])
+    fid = jnp.concatenate([
+        jnp.broadcast_to(jnp.arange(N, dtype=jnp.uint32)[None, :],
+                         (K, N)).reshape(-1),
+        jnp.zeros((npix,), jnp.uint32)])
 
     key_s, alpha_s, z_s, fid_s = jax.lax.sort(
         (key, alpha, zfrag, fid), dimension=0, num_keys=1, is_stable=False)
@@ -214,9 +218,9 @@ def _splat_one_gather(points, features, intrinsics, H, W, radius_px,
     wgt = (alpha_s * transmittance
            * (rank < points_per_pixel) * real).astype(f32)
 
-    # features: one (N, C) row gather at the fragment's source point —
+    # features: one (N, C) row gather at the fragment's source point id —
     # cheaper than broadcasting C channels over K taps and sorting them
-    feat_s = jnp.take(features, (fid_s // K).astype(jnp.int32), axis=0)
+    feat_s = jnp.take(features, fid_s.astype(jnp.int32), axis=0)
 
     zhead = jnp.where(start & real, z_s, 0.0)[:, None]
     cnt = real.astype(f32)[:, None]
@@ -246,12 +250,19 @@ def _splat_one_gather(points, features, intrinsics, H, W, radius_px,
 def _project_fragments(points, features, intrinsics, H, W, radius_px,
                        pixel_center_offset, npix_sentinel,
                        materialize_features=True):
-    """points (N,3), features (N,C) -> flat fragment arrays (N*K,).
+    """points (N,3), features (N,C) -> flat fragment arrays (K*N,).
+
+    Fragments are built TAP-MAJOR: flat index = k*N + n (the sort reorders
+    everything anyway, so fragment order is free).  The (K, N) layout puts
+    the big N axis on the 128-lane dim; the old (N, K) layout padded the
+    K=4 minor dim to 128 lanes — 32x wasted lanes on every elementwise op
+    (measured 4.2 ms of the 33 ms full-res splat).
 
     Culled fragments (alpha<=0, out of image, invalid z) get
-    pid = npix_sentinel so they sort to the end.  With
-    ``materialize_features=False`` the (N*K, C) feature broadcast is
-    skipped (callers gather rows post-sort instead) and ffrag is None."""
+    pid = npix_sentinel so they sort to the end.  ``ffrag`` is a list of C
+    per-channel flat (K*N,) arrays (sort value operands); with
+    ``materialize_features=False`` it is None and callers gather feature
+    rows post-sort at the carried point id instead."""
     f32 = jnp.float32
     N, C = features.shape
     R = int(math.ceil(radius_px))
@@ -270,18 +281,19 @@ def _project_fragments(points, features, intrinsics, H, W, radius_px,
     dy = dy.reshape(-1)
     bx = jnp.floor(x).astype(jnp.int32)
     by = jnp.floor(y).astype(jnp.int32)
-    px = bx[:, None] + dx[None, :]  # (N,K)
-    py = by[:, None] + dy[None, :]
+    px = bx[None, :] + dx[:, None]  # (K, N)
+    py = by[None, :] + dy[:, None]
 
-    d2 = (px.astype(f32) - x[:, None]) ** 2 + (py.astype(f32) - y[:, None]) ** 2
+    d2 = (px.astype(f32) - x[None, :]) ** 2 + (py.astype(f32) - y[None, :]) ** 2
     alpha = 1.0 - d2 / (radius_px * radius_px)
     ok = ((alpha > 0) & (px >= 0) & (px < W) & (py >= 0) & (py < H)
-          & zvalid[:, None])
+          & zvalid[None, :])
     pid = jnp.where(ok, py * W + px, npix_sentinel).reshape(-1)
     alpha = jnp.where(ok, jnp.clip(alpha, 0.0, 1.0 - 1e-4), 0.0).reshape(-1)
-    zfrag = jnp.broadcast_to(Z[:, None], (N, K)).reshape(-1)
+    zfrag = jnp.broadcast_to(Z[None, :], (K, N)).reshape(-1)
     if materialize_features:
-        ffrag = jnp.broadcast_to(features[:, None], (N, K, C)).reshape(-1, C)
+        ffrag = [jnp.broadcast_to(features[:, c][None, :], (K, N)).reshape(-1)
+                 for c in range(C)]
     else:
         ffrag = None
     return pid, alpha, zfrag, ffrag, Z
@@ -312,9 +324,9 @@ def _splat_one_pallas(points, features, intrinsics, H, W, radius_px,
     zq = _quantize_z(Z, z_bits)
     N, K = points.shape[0], pid.shape[0] // points.shape[0]
     key = (pid.astype(jnp.uint32) << z_bits) | jnp.broadcast_to(
-        zq[:, None], (N, K)).reshape(-1)
+        zq[None, :], (K, N)).reshape(-1)
 
-    ops = [key, alpha, zfrag] + [ffrag[:, c] for c in range(C)]
+    ops = [key, alpha, zfrag] + list(ffrag)
     sorted_ops = jax.lax.sort(tuple(ops), dimension=0, num_keys=1,
                               is_stable=False)
     pid_s = (sorted_ops[0] >> z_bits).astype(jnp.int32)
