@@ -47,7 +47,7 @@ def main():
     args = p.parse_args()
     dt = jnp.bfloat16 if args.bf16 else jnp.float32
     H, W = args.height, args.width
-    for impl in ("xla_gather", "xla"):
+    for impl in ("xla_gather", "xla", "pallas"):
         t_full = bench_case("full-res C=6 r=1", H, W, 6, 1.0, dt, impl)
         t_q = bench_case("quarter-res C=32 r=2", H // 4, W // 4, 32, 2.0,
                          dt, impl)
