@@ -36,6 +36,9 @@ def main():
     p.add_argument("--max-disp", type=int, default=320)
     p.add_argument("--mode", choices=["streaming", "frame0"],
                    default="streaming")
+    p.add_argument("--batch", type=int, default=1,
+                   help="independent concurrent streams (serving "
+                        "throughput); metric reports aggregate frames/s")
     p.add_argument("--bf16", action="store_true",
                    help="cast params/inputs to bfloat16")
     p.add_argument("--profile-dir", default=None,
@@ -45,18 +48,19 @@ def main():
     from codd_tpu.models.codd import CODD
 
     H, W = args.height, args.width
+    B = args.batch
     model = CODD(max_disp=args.max_disp, iters=args.gn_iters)
     rng = np.random.RandomState(0)
     # rotate through distinct synthetic frames so no layer of the stack can
     # dedup identical executions
     NBUF = 8
-    lbuf = [jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32))
+    lbuf = [jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
             for _ in range(NBUF)]
-    rbuf = [jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32))
+    rbuf = [jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
             for _ in range(NBUF)]
     left = jnp.stack([lbuf[0], lbuf[1]], axis=1)
     right = jnp.stack([rbuf[0], rbuf[1]], axis=1)
-    intr = jnp.asarray([[450.0, 450.0, W / 2.0, H / 2.0]], jnp.float32)
+    intr = jnp.asarray([[450.0, 450.0, W / 2.0, H / 2.0]] * B, jnp.float32)
 
     # params are resolution-independent (all-conv): init at a small size to
     # keep the init trace cheap, then apply at the benchmark resolution
@@ -113,9 +117,11 @@ def main():
     hard_sync(disp)
     dt = time.perf_counter() - t0
 
-    fps = args.iters / dt
+    fps = args.iters * B / dt
+    name = (f"fps_{args.mode}_kitti_{H}x{W}" if B == 1 else
+            f"fps_{args.mode}_b{B}_kitti_{H}x{W}")
     print(json.dumps({
-        "metric": f"fps_{args.mode}_kitti_{H}x{W}",
+        "metric": name,
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 4),

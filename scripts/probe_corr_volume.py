@@ -74,8 +74,22 @@ def main():
             return dots.sum()
 
         ms_s = chain_ms(select, sy)
+
+        def select_bm(sy_):
+            # broadcast-multiply-reduce: XLA fuses the iota-compare mask
+            # into one pass over the slabs (no mask materialization, no
+            # batched tiny matmuls)
+            slabs = slabs_of(sy_).astype(jnp.float32)
+            sel = (w_iota[None, None, :, None]
+                   == sx[:, None, None, None] + k_iota[None, None, None, :])
+            dots = jnp.sum(slabs[:, :, :, None]
+                           * sel.astype(slabs.dtype), axis=2)
+            return dots.sum()
+
+        ms_b = chain_ms(select_bm, sy)
         print(f"L({Hp:3d},{Wp:3d}): slab-gather {ms_g:6.3f} ms   "
-              f"+column-select {ms_s:6.3f} ms (+{ms_s - ms_g:5.3f})",
+              f"+col-matmul {ms_s:6.3f} (+{ms_s - ms_g:5.3f})   "
+              f"+col-bmul {ms_b:6.3f} (+{ms_b - ms_g:5.3f})",
               flush=True)
 
         # aligned narrow-slab variants: gather (t, SW) at 8-aligned x from
