@@ -41,6 +41,14 @@ def replicate(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch, mesh: Mesh):
     """Place every array of the batch with its leading axis split over
     the data mesh (the per-host analogue of the reference's rank-sharded
-    dataset: inference.py:101-103)."""
+    dataset: inference.py:101-103).
+
+    Single-process: a plain device_put.  Multi-process (multi-host SPMD):
+    each host passes its LOCAL shard of the batch and the global array is
+    assembled across hosts (``make_array_from_process_local_data``) — the
+    moral equivalent of DDP's per-rank dataloader shard."""
     sh = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, x), batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
