@@ -333,13 +333,15 @@ def _splat_one_pallas(points, features, intrinsics, H, W, radius_px,
     alpha_s, z_s = sorted_ops[1], sorted_ops[2]
     feat_s = jnp.stack(sorted_ops[3:], axis=0)  # (C, M)
 
-    # pad with WMAX sentinel rows so window DMAs stay in bounds
+    # pad with WMAX sentinel rows so window DMAs stay in bounds; the
+    # channel dim pads to a multiple of 8 because Mosaic requires manual
+    # HBM DMA slices to be sublane-aligned (8 rows for f32)
+    C8 = -(-C // 8) * 8
     pid_p = jnp.concatenate(
         [pid_s, jnp.full((WMAX,), npix_pad, jnp.int32)])[None]
     alpha_p = jnp.concatenate([alpha_s, jnp.zeros((WMAX,), jnp.float32)])[None]
     z_p = jnp.concatenate([z_s, jnp.zeros((WMAX,), jnp.float32)])[None]
-    feat_p = jnp.concatenate(
-        [feat_s, jnp.zeros((C, WMAX), jnp.float32)], axis=1)
+    feat_p = jnp.pad(feat_s, ((0, C8 - C), (0, WMAX)))
 
     boundaries = jnp.arange(T + 1, dtype=jnp.int32) * TILE_PX
     offsets = jnp.searchsorted(pid_s, boundaries, side="left").astype(
@@ -351,7 +353,7 @@ def _splat_one_pallas(points, features, intrinsics, H, W, radius_px,
     out, zbuf, cnt = composite_tiles(
         pid_p, alpha_p, z_p, feat_p, offsets, npix_pad,
         points_per_pixel=points_per_pixel, interpret=interpret)
-    out = out[:npix].astype(out_dtype).reshape(H, W, C)
+    out = out[:npix, :C].astype(out_dtype).reshape(H, W, C)
     zbuf = jnp.where(cnt[:npix] > 0, zbuf[:npix], 0.0).astype(out_dtype)
     return out, zbuf.reshape(H, W)
 

@@ -44,10 +44,13 @@ def main():
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--height", type=int, default=384)
     p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--impl", default=None,
+                   help="run only this impl (default: all three)")
     args = p.parse_args()
     dt = jnp.bfloat16 if args.bf16 else jnp.float32
     H, W = args.height, args.width
-    for impl in ("xla_gather", "xla", "pallas"):
+    impls = (args.impl,) if args.impl else ("xla_gather", "xla", "pallas")
+    for impl in impls:
         t_full = bench_case("full-res C=6 r=1", H, W, 6, 1.0, dt, impl)
         t_q = bench_case("quarter-res C=32 r=2", H // 4, W // 4, 32, 2.0,
                          dt, impl)
