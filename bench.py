@@ -41,6 +41,10 @@ def main():
                         "throughput); metric reports aggregate frames/s")
     p.add_argument("--bf16", action="store_true",
                    help="cast params/inputs to bfloat16")
+    p.add_argument("--splat-impl", default="xla_gather",
+                   help="full-res splat backend (ops.splat impls)")
+    p.add_argument("--splat-impl-lr", default="",
+                   help="quarter-res splat backend ('' = same)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the timed loop")
     args = p.parse_args()
@@ -49,7 +53,8 @@ def main():
 
     H, W = args.height, args.width
     B = args.batch
-    model = CODD(max_disp=args.max_disp, iters=args.gn_iters)
+    model = CODD(max_disp=args.max_disp, iters=args.gn_iters,
+                 splat_impl=args.splat_impl, splat_impl_lr=args.splat_impl_lr)
     rng = np.random.RandomState(0)
     # rotate through distinct synthetic frames so no layer of the stack can
     # dedup identical executions

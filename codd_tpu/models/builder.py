@@ -46,6 +46,8 @@ def build_estimator(model_cfg: Dict[str, Any]) -> CODD:
         init_cost_variant=str(runtime.get("init_cost_variant", "auto")),
         gn_impl=str(runtime.get("gn_impl", "auto")),
         gn_bf16_scores=bool(runtime.get("gn_bf16_scores", False)),
+        splat_impl=str(runtime.get("splat_impl", "xla_gather")),
+        splat_impl_lr=str(runtime.get("splat_impl_lr", "")),
     )
 
 

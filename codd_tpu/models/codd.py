@@ -81,6 +81,8 @@ class CODD(nn.Module):
     gn_impl: str = "auto"             # GN aggregation path
     gn_bf16_scores: bool = False      # bf16 GN attention scores
     corr_impl: str = "auto"           # corr pyramid layout (ops.corr)
+    splat_impl: str = "xla_gather"    # inference splat backend (ops.splat)
+    splat_impl_lr: str = ""           # quarter-res override ("" = same)
 
     @property
     def has_motion_net(self):
@@ -97,6 +99,8 @@ class CODD(nn.Module):
             self.motion = Motion(iters=self.iters, gn_impl=self.gn_impl,
                                  gn_bf16_scores=self.gn_bf16_scores,
                                  corr_impl=self.corr_impl,
+                                 splat_impl=self.splat_impl,
+                                 splat_impl_lr=self.splat_impl_lr,
                                  name="motion")
         if self.has_fusion_net:
             self.fusion = Fusion(fusion_channel=self.fusion_channel,

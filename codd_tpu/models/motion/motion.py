@@ -45,8 +45,13 @@ class Motion(nn.Module):
     # inference splat backend: "xla_gather" (post-sort row gathers — the
     # fast forward-only pipeline), "xla" (payload-through-sort), or
     # "pallas" (ops/pallas/splat_composite tile kernel).  Training always
-    # uses the differentiable "xla" path (scatter-free backward).
+    # uses the differentiable "xla" path (scatter-free backward).  The
+    # full-res and quarter-res call sites have different shapes (C=6 r=1
+    # vs C=32 r=2) and so different best backends; splat_impl_lr overrides
+    # the backend for the quarter-res feature warp ("" = same as
+    # splat_impl).
     splat_impl: str = "xla_gather"
+    splat_impl_lr: str = ""
     # The reference splats the previous *image* too (motion.py:185), but
     # nothing downstream ever reads it (fusion.py:366 unpacks and drops
     # it), so by default we skip those 3 full-res channels.  Set True for
@@ -119,9 +124,11 @@ class Motion(nn.Module):
         X1l = inv_project(depth_lr, intr_lr)
         X2l = se3.act(Ts_lr, X1l)
         C = memory_feat.shape[-1]
+        impl_lr = "xla" if train_mode else (self.splat_impl_lr
+                                            or self.splat_impl)
         feat_warp, _ = splat_render(
             X2l.reshape(B, -1, 3), memory_feat.reshape(B, -1, C), intr_lr,
-            H=H // s, W=W // s, radius_px=2.0, impl=impl)
+            H=H // s, W=W // s, radius_px=2.0, impl=impl_lr)
 
         memory5 = (img_warp, feat_warp, confidence_warp, disp_warp, flow_warp)
         return memory5, raft_out, fmap_curr, netinp_curr
