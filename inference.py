@@ -40,6 +40,9 @@ def main():
     args = parse_args()
     import jax
 
+    from codd_tpu.utils.platform import honor_platform_env
+    honor_platform_env()
+
     from codd_tpu.apis.inference import run_inference
     from codd_tpu.apis.train import build_dataset_from_cfg
     from codd_tpu.config import load_config

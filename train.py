@@ -36,6 +36,9 @@ def main():
     args = parse_args()
     import jax
 
+    from codd_tpu.utils.platform import honor_platform_env
+    honor_platform_env()
+
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
