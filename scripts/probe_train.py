@@ -66,6 +66,8 @@ for B in sizes:
         state, logs = step(state, batch)
     lN = float(logs["loss"])  # hard sync
     dt = time.perf_counter() - t0
+    stats = jax.local_devices()[0].memory_stats() or {}
+    peak_gb = stats.get("peak_bytes_in_use", 0) / 2**30
     print(f"B={B} {'bf16' if bf16 else 'f32'}: {N/dt:.3f} it/s "
           f"({dt/N*1e3:.0f} ms/step, {B*N/dt:.2f} samples/s) "
-          f"loss {l0:.1f}->{lN:.1f}", flush=True)
+          f"loss {l0:.1f}->{lN:.1f} peak_hbm={peak_gb:.2f}GiB", flush=True)
