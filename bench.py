@@ -45,6 +45,8 @@ def main():
                    help="full-res splat backend (ops.splat impls)")
     p.add_argument("--splat-impl-lr", default="",
                    help="quarter-res splat backend ('' = same)")
+    p.add_argument("--gn-impl", default="auto",
+                   help="GN aggregation path (ops.gn build_system impls)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the timed loop")
     args = p.parse_args()
@@ -54,7 +56,8 @@ def main():
     H, W = args.height, args.width
     B = args.batch
     model = CODD(max_disp=args.max_disp, iters=args.gn_iters,
-                 splat_impl=args.splat_impl, splat_impl_lr=args.splat_impl_lr)
+                 splat_impl=args.splat_impl, splat_impl_lr=args.splat_impl_lr,
+                 gn_impl=args.gn_impl)
     rng = np.random.RandomState(0)
     # rotate through distinct synthetic frames so no layer of the stack can
     # dedup identical executions

@@ -140,7 +140,9 @@ def build_system(Ts, ae, target, weight, depth, intrinsics, radius=32,
       radius: Chebyshev window radius in pixels (None = full attention).
       impl: "windowed" (column-blocked, HBM-lean — the production path),
         "dense" (materializes the (n, n) score matrix — the test oracle),
-        or "auto" (windowed when the shape is eligible, else dense).
+        "pallas_window" (flash-style fused kernel: scores never reach HBM;
+        forward-only), or "auto" (windowed when the shape is eligible,
+        else dense).
       bf16_scores: keep attention scores in bf16 (windowed path only) —
         halves score HBM at ~0.4% relative error.
 
@@ -187,10 +189,20 @@ def build_system(Ts, ae, target, weight, depth, intrinsics, radius=32,
                    and w > 3 * _GN_BLOCK)
     if impl == "auto":
         impl = "windowed" if windowed_ok else "dense"
-    if impl == "windowed" and not windowed_ok:
+    if impl in ("windowed", "pallas_window") and not windowed_ok:
         impl = "dense"
-    assert impl in ("windowed", "dense"), f"bad GN impl {impl}"
-    if impl == "windowed":
+    assert impl in ("windowed", "dense", "pallas_window"), \
+        f"bad GN impl {impl}"
+    if impl == "pallas_window":
+        from .pallas.gn_window import gn_window_aggregate
+        interpret = jax.devices()[0].platform in ("cpu", "gpu", "cuda",
+                                                  "rocm")
+        agg = gn_window_aggregate(ae.astype(f32),
+                                  vals.reshape(B, h, w, 27),
+                                  radius=radius, bs=_GN_BLOCK,
+                                  bf16_scores=bf16_scores,
+                                  interpret=interpret)
+    elif impl == "windowed":
         agg = _windowed_aggregate(aef.reshape(B, h, w, -1),
                                   vals.reshape(B, h, w, 27), radius,
                                   bf16_scores=bf16_scores)

@@ -37,12 +37,12 @@ depth = jnp.asarray((rng.rand(B, h8, w8) * 20 + 1).astype(np.float32))
 intr = jnp.asarray([[450.0 / 8, 450.0 / 8, W / 16, H / 16]], jnp.float32)
 
 
-def run(flag):
+def run(impl, flag):
     @jax.jit
     def chain(Ts, ae):
         def body(i, Ts):
             return gn_step(Ts, ae + i * 1e-6, target, weight, depth, intr,
-                           impl="windowed", bf16_scores=flag)
+                           impl=impl, bf16_scores=flag)
         return jax.lax.fori_loop(0, ITERS, body, Ts)
 
     t0 = time.perf_counter()
@@ -55,9 +55,14 @@ def run(flag):
         out = chain(Ts0, ae)
         s = float(np.asarray(out[0, 0, 0, 0]))
         dt = time.perf_counter() - t0
-        print(f"gn_step windowed bf16_scores={flag}: "
+        print(f"gn_step {impl} bf16_scores={flag}: "
               f"{dt/ITERS*1e3:.2f} ms/iter", flush=True)
 
 
-for flag in (False, True):
-    run(flag)
+cases = [("windowed", False), ("windowed", True),
+         ("pallas_window", False), ("pallas_window", True)]
+only = sys.argv[1:] if len(sys.argv) > 1 else None
+for impl, flag in cases:
+    if only and impl not in only:
+        continue
+    run(impl, flag)

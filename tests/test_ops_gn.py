@@ -95,3 +95,25 @@ def test_windowed_aggregate_matches_dense():
 
     np.testing.assert_allclose(np.asarray(agg_win), np.asarray(agg_dense),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_window_aggregate_matches_dense():
+    """Flash-style Pallas windowed aggregation (interpret mode on CPU) ==
+    windowed XLA path (ops/pallas/gn_window.py)."""
+    from codd_tpu.ops.pallas.gn_window import gn_window_aggregate
+
+    rng = np.random.RandomState(4)
+    B, h, w, C = 1, 12, 128, 4   # h % QH != 0 exercises row padding
+    ae = jnp.asarray(rng.randn(B, h, w, C).astype(np.float32))
+    vals = jnp.asarray(rng.randn(B, h, w, 27).astype(np.float32) * 10)
+
+    agg_ref = gn._windowed_aggregate(ae, vals, radius=32)
+    agg_pl = gn_window_aggregate(ae, vals, radius=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(agg_pl), np.asarray(agg_ref),
+                               rtol=1e-4, atol=1e-3)
+
+    agg_bf = gn_window_aggregate(ae, vals, radius=32, bf16_scores=True,
+                                 interpret=True)
+    ref = np.asarray(agg_ref)
+    rel = np.abs(np.asarray(agg_bf) - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 2e-2, f"bf16 scores rel err {rel}"
