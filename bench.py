@@ -47,6 +47,8 @@ def main():
                    help="quarter-res splat backend ('' = same)")
     p.add_argument("--gn-impl", default="auto",
                    help="GN aggregation path (ops.gn build_system impls)")
+    p.add_argument("--gn-bf16", action="store_true",
+                   help="bf16 GN attention scores (halves score HBM)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the timed loop")
     args = p.parse_args()
@@ -57,7 +59,7 @@ def main():
     B = args.batch
     model = CODD(max_disp=args.max_disp, iters=args.gn_iters,
                  splat_impl=args.splat_impl, splat_impl_lr=args.splat_impl_lr,
-                 gn_impl=args.gn_impl)
+                 gn_impl=args.gn_impl, gn_bf16_scores=args.gn_bf16)
     rng = np.random.RandomState(0)
     # rotate through distinct synthetic frames so no layer of the stack can
     # dedup identical executions
