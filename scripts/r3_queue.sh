@@ -2,7 +2,7 @@
 # Round-3 serialized TPU measurement queue (never run two TPU jobs at once:
 # the axon compile helper OOMs under contention — BENCH_NOTES env notes).
 set -x
-cd /root/repo
+cd /root/repo || exit 1
 L=/tmp/r3
 mkdir -p $L
 

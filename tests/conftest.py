@@ -24,3 +24,26 @@ jax.config.update("jax_platforms", "cpu")
 _cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import pytest  # noqa: E402
+
+# Two-tier suite: the multi-process, end-to-end, and golden-parity tests
+# dominate the 45-min full-suite wall time on a 1-core host.  Mark them
+# `slow` by module so `pytest -m "not slow"` is a <5-min op-oracle tier.
+_SLOW_MODULES = (
+    "test_multihost",
+    "test_multihost_train",
+    "test_e2e_train_infer",
+    "test_codd_estimator",
+    "test_trainer_accum",
+    "test_evaluation",
+    "test_imgdir_mode",
+    "tests/parity/",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        path = str(getattr(item, "path", item.fspath))
+        if any(m in path for m in _SLOW_MODULES):
+            item.add_marker(pytest.mark.slow)
