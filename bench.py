@@ -45,6 +45,9 @@ def main():
                    help="full-res splat backend (ops.splat impls)")
     p.add_argument("--splat-impl-lr", default="",
                    help="quarter-res splat backend ('' = same)")
+    p.add_argument("--corr-impl", default="auto",
+                   help="corr pyramid/lookup path (ops.corr impls: auto, "
+                        "patch, volume, volume_pallas)")
     p.add_argument("--gn-impl", default="auto",
                    help="GN aggregation path (ops.gn build_system impls)")
     p.add_argument("--gn-bf16", action="store_true",
@@ -54,12 +57,19 @@ def main():
     args = p.parse_args()
 
     from codd_tpu.models.codd import CODD
+    from codd_tpu.ops.gn import resolve_impl as resolve_gn_impl
 
     H, W = args.height, args.width
     B = args.batch
+    gn_resolved = resolve_gn_impl(args.gn_impl, 32, W // 8)
+    if args.gn_bf16 and gn_resolved == "dense":
+        print(f"WARNING: --gn-bf16 is a no-op: gn impl resolves to 'dense' "
+              f"at this shape (W/8={W // 8}); bf16 scores apply only to the "
+              f"windowed/pallas paths", flush=True)
     model = CODD(max_disp=args.max_disp, iters=args.gn_iters,
                  splat_impl=args.splat_impl, splat_impl_lr=args.splat_impl_lr,
-                 gn_impl=args.gn_impl, gn_bf16_scores=args.gn_bf16)
+                 gn_impl=args.gn_impl, gn_bf16_scores=args.gn_bf16,
+                 corr_impl=args.corr_impl)
     rng = np.random.RandomState(0)
     # rotate through distinct synthetic frames so no layer of the stack can
     # dedup identical executions

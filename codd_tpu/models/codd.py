@@ -83,6 +83,7 @@ class CODD(nn.Module):
     corr_impl: str = "auto"           # corr pyramid layout (ops.corr)
     splat_impl: str = "xla_gather"    # inference splat backend (ops.splat)
     splat_impl_lr: str = ""           # quarter-res override ("" = same)
+    pixel_center_offset: float = 0.0  # -0.5 = pytorch3d splat convention
 
     @property
     def has_motion_net(self):
@@ -101,6 +102,7 @@ class CODD(nn.Module):
                                  corr_impl=self.corr_impl,
                                  splat_impl=self.splat_impl,
                                  splat_impl_lr=self.splat_impl_lr,
+                                 pixel_center_offset=self.pixel_center_offset,
                                  name="motion")
         if self.has_fusion_net:
             self.fusion = Fusion(fusion_channel=self.fusion_channel,

@@ -57,6 +57,11 @@ class Motion(nn.Module):
     # it), so by default we skip those 3 full-res channels.  Set True for
     # bit-level information-flow parity with the reference.
     warp_image: bool = False
+    # 0.0 = integer pixel centers (self-consistent with ops.warp /
+    # ops.projective); -0.5 reproduces pytorch3d's half-integer screen
+    # convention (reference motion.py:106-128) for running reference-
+    # trained weights bit-compatibly (see ops/splat.py docstring).
+    pixel_center_offset: float = 0.0
     gn_impl: str = "auto"        # GN aggregation path (ops.gn.build_system)
     gn_bf16_scores: bool = False
     corr_impl: str = "auto"      # corr pyramid layout (ops.corr docstring)
@@ -103,7 +108,8 @@ class Motion(nn.Module):
         impl = "xla" if train_mode else self.splat_impl
         warped, zbuf = splat_render(
             X2.reshape(B, -1, 3), to_proj.reshape(B, -1, nch), intrinsics,
-            H=H, W=W, radius_px=1.0, impl=impl)
+            H=H, W=W, radius_px=1.0, impl=impl,
+            pixel_center_offset=self.pixel_center_offset)
         if self.warp_image:
             img_warp = warped[..., :3]
             flow_warp = warped[..., 3:6]
@@ -128,7 +134,8 @@ class Motion(nn.Module):
                                             or self.splat_impl)
         feat_warp, _ = splat_render(
             X2l.reshape(B, -1, 3), memory_feat.reshape(B, -1, C), intr_lr,
-            H=H // s, W=W // s, radius_px=2.0, impl=impl_lr)
+            H=H // s, W=W // s, radius_px=2.0, impl=impl_lr,
+            pixel_center_offset=self.pixel_center_offset)
 
         memory5 = (img_warp, feat_warp, confidence_warp, disp_warp, flow_warp)
         return memory5, raft_out, fmap_curr, netinp_curr

@@ -123,6 +123,7 @@ class GNIteration(nn.Module):
     emit_supervision: bool = False
     gn_impl: str = "auto"       # GN aggregation path (see ops.gn.build_system)
     gn_bf16_scores: bool = False
+    corr_select: str = "xla"    # volume-path column select (ops.corr)
 
     @nn.compact
     def __call__(self, carry, _):
@@ -136,7 +137,8 @@ class GNIteration(nn.Module):
         zinv = grid_sample(zinv2[..., None], coords1, mode="bilinear",
                            padding_mode="zeros")
 
-        corr = corr_ops.corr_lookup(pyramid, coords1, self.corr_radius)
+        corr = corr_ops.corr_lookup(pyramid, coords1, self.corr_radius,
+                                    select=self.corr_select)
         flow = coords1 - coords0
         dz = zinv - zinv_proj
         twist = se3.log(Ts)
@@ -202,11 +204,18 @@ class RAFT3D(nn.Module):
             split_rngs={"params": False},
             length=self.iters,
         )
+        corr_impl = self.corr_impl
+        if corr_impl == "auto":
+            corr_impl = "patch" if train_mode else "volume"
         return ScanIter(hidden_dim=self.hidden_dim,
                         corr_radius=self.corr_radius,
                         emit_supervision=train_mode,
                         gn_impl=self.gn_impl,
-                        gn_bf16_scores=self.gn_bf16_scores, name="gn_iter")
+                        gn_bf16_scores=self.gn_bf16_scores,
+                        corr_select=("pallas"
+                                     if corr_impl == "volume_pallas"
+                                     else "xla"),
+                        name="gn_iter")
 
     def encode(self, image):
         fmap = self.fnet(image)
@@ -231,9 +240,13 @@ class RAFT3D(nn.Module):
         corr_impl = self.corr_impl
         if corr_impl == "auto":
             corr_impl = "patch" if train_mode else "volume"
+        if corr_impl == "volume_pallas":
+            pyr_impl = "volume"
+        else:
+            pyr_impl = corr_impl
         pyramid = corr_ops.build_corr_pyramid(fmap_prev, fmap_curr,
                                               self.corr_levels,
-                                              impl=corr_impl)
+                                              impl=pyr_impl)
         net = jnp.tanh(netinp_prev[..., :128])
         inp = nn.relu(netinp_prev[..., 128:])
 

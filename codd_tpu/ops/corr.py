@@ -80,6 +80,7 @@ def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
     f1 = (fmap1 / 4.0).astype(jnp.bfloat16)
     if impl == "patch":
         return {"f1": f1, "levels": levels}
+    assert impl in ("volume", "volume_pallas"), f"bad corr impl {impl}"
 
     B, h, w, C = fmap1.shape
     P = 2 * radius + 1
@@ -93,6 +94,9 @@ def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
         # bf16 volume: halves slab-gather traffic; one extra rounding of
         # the correlation values (~0.4% rel), same order as bf16 taps
         vols.append(vol.reshape(B, h * w, Hp, Wp).astype(jnp.bfloat16))
+    # NOTE: the returned dict rides the GN scan carry, so it may contain
+    # only array leaves; the select backend ("xla" vs "pallas") is a
+    # static argument of corr_lookup instead.
     return {"vols": vols}
 
 
@@ -131,13 +135,16 @@ def _bilinear_combine(dots, fy, fx, h, w):
 
 
 def _lookup_level_volume(vol: jnp.ndarray, coords: jnp.ndarray,
-                         radius: int) -> jnp.ndarray:
+                         radius: int, select: str = "xla") -> jnp.ndarray:
     """vol: (B, N, Hp, Wp) padded per-level correlation volume;
     coords: (B, h, w, 2) in level pixels.  Returns (B, h, w, (2r+1)^2).
 
     Per query: ONE contiguous (t, Wp) row-slab gather from the volume
-    (t*Wp*2 B >= 500 B contiguous — near-bandwidth on TPU), then an
-    iota-compare one-hot contraction selects the t needed columns."""
+    (t*Wp*2 B >= 500 B contiguous — near-bandwidth on TPU), then the t
+    needed columns are selected either by an iota-compare one-hot
+    contraction (select="xla") or by the fused VMEM-resident Pallas kernel
+    (select="pallas", ops/pallas/corr_select.py — skips the HBM round-trip
+    of the (B, N, Wp, t) mask and the 128-lane padding of t-wide matmuls)."""
     B, N, Hp, Wp = vol.shape
     h, w = coords.shape[1:3]
     t = 2 * radius + 2
@@ -156,6 +163,14 @@ def _lookup_level_volume(vol: jnp.ndarray, coords: jnp.ndarray,
             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)  # (N, t, Wp)
 
     slabs = jax.vmap(slab_one)(vol, sy)  # (B, N, t, Wp)
+
+    if select == "pallas":
+        from .pallas.corr_select import window_select_combine
+
+        interpret = jax.default_backend() in ("cpu", "gpu", "cuda", "rocm")
+        out = window_select_combine(slabs, sx, fy, fx, vq, radius=radius,
+                                    interpret=interpret)
+        return out.reshape(B, h, w, (t - 1) * (t - 1))
 
     # column selection: dots[b,n,y,k] = slabs[b,n,y,sx+k]; the one-hot
     # contraction runs on the MXU and never materializes scalar gathers
@@ -211,18 +226,21 @@ def _lookup_level(f1: jnp.ndarray, f2_l: jnp.ndarray, coords: jnp.ndarray,
     return _bilinear_combine(dots, fy, fx, h, w)
 
 
-def corr_lookup(pyramid: Dict, coords: jnp.ndarray, radius: int = 3
-                ) -> jnp.ndarray:
+def corr_lookup(pyramid: Dict, coords: jnp.ndarray, radius: int = 3,
+                select: str = "xla") -> jnp.ndarray:
     """Index (2r+1)^2 windows from every pyramid level.
 
     coords: (B, h, w, 2) target coords in level-0 pixels.
     Returns (B, h, w, L*(2r+1)^2), level-major then window row-major
     (matching the torch cat order, corr.py:47-54).  Dispatches on the
-    pyramid layout: feature pyramid ("patch") or precomputed volumes."""
+    pyramid layout: feature pyramid ("patch") or precomputed volumes;
+    ``select`` picks the volume-path column-select backend (see
+    `_lookup_level_volume`)."""
     out = []
     if "vols" in pyramid:
         for i, vol in enumerate(pyramid["vols"]):
-            out.append(_lookup_level_volume(vol, coords / (2 ** i), radius))
+            out.append(_lookup_level_volume(vol, coords / (2 ** i), radius,
+                                            select=select))
         return jnp.concatenate(out, axis=-1)
     f1 = pyramid["f1"]
     for i, f2_l in enumerate(pyramid["levels"]):

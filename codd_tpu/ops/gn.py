@@ -129,6 +129,19 @@ def _sym_unpack(p):
     return out
 
 
+def resolve_impl(impl, radius, w):
+    """Resolve an impl selector to the concrete aggregation path that
+    build_system will take for a 1/8-res field of width ``w`` (so CLIs can
+    report it and warn when e.g. bf16_scores is a dense-path no-op)."""
+    windowed_ok = (radius == _GN_BLOCK and w % _GN_BLOCK == 0
+                   and w > 3 * _GN_BLOCK)
+    if impl == "auto":
+        return "windowed" if windowed_ok else "dense"
+    if impl in ("windowed", "pallas_window") and not windowed_ok:
+        return "dense"
+    return impl
+
+
 def build_system(Ts, ae, target, weight, depth, intrinsics, radius=32,
                  impl="auto", bf16_scores=False):
     """Attention-aggregated GN normal equations.
@@ -185,12 +198,7 @@ def build_system(Ts, ae, target, weight, depth, intrinsics, radius=32,
 
     # attention scores over the (windowed) pixel graph — MXU matmul
     aef = ae.astype(f32).reshape(B, n, -1)
-    windowed_ok = (radius == _GN_BLOCK and w % _GN_BLOCK == 0
-                   and w > 3 * _GN_BLOCK)
-    if impl == "auto":
-        impl = "windowed" if windowed_ok else "dense"
-    if impl in ("windowed", "pallas_window") and not windowed_ok:
-        impl = "dense"
+    impl = resolve_impl(impl, radius, w)
     assert impl in ("windowed", "dense", "pallas_window"), \
         f"bad GN impl {impl}"
     if impl == "pallas_window":

@@ -111,23 +111,36 @@ def gn_window_aggregate(ae, vals, radius: int = 32, bs: int = 32,
     """ae: (B, h, w, C), vals: (B, h, w, V).  Returns (B, h, w, V) f32.
 
     Requires w % bs == 0; h is padded to the QH quantum internally.
+
+    C and V are zero-padded to 128 lanes: Mosaic requires manual HBM->VMEM
+    DMA slices to be 128-aligned on the minor (lane) dimension, and the
+    un-padded (..., 32/27) windows are ILLEGAL slices of a lane-padded HBM
+    buffer (r4 probe: "Slice shape along dimension 2 must be aligned to
+    tiling (128), but is 16").  Zero lanes are semantics-neutral — they
+    add 0 to the squared distances and aggregate to 0 in the output — and
+    the full-lane layout keeps every in-kernel op relayout-free.
     """
     B, h, w, C = ae.shape
     V = vals.shape[-1]
+    V_out = V
     assert w % bs == 0, "width must tile by the block size"
+    LANES = 128
+    assert C <= LANES and V <= LANES
     nbx = w // bs
     nby = -(-h // QH)
     hp = nby * QH
     win_rows = QH + 2 * radius
     win_x = bs + 2 * radius
 
-    # zero pad: radius on the left/top, radius + alignment slack right/down
+    # zero pad: radius on the left/top, radius + alignment slack right/down;
+    # channels to the 128-lane tile
     aep = jnp.pad(ae.astype(jnp.float32),
                   ((0, 0), (radius, radius + hp - h + QH),
-                   (radius, radius), (0, 0)))
+                   (radius, radius), (0, LANES - C)))
     vp = jnp.pad(vals.astype(jnp.float32),
                  ((0, 0), (radius, radius + hp - h + QH),
-                  (radius, radius), (0, 0)))
+                  (radius, radius), (0, LANES - V)))
+    C = V = LANES
 
     ch_rows = QH  # key rows per inner chunk
     n_chunks = win_rows // ch_rows
@@ -156,6 +169,6 @@ def gn_window_aggregate(ae, vals, radius: int = 32, bs: int = 32,
         )(ae_b, vals_b)
         out = out.reshape(nby, nbx, QH, bs, V)
         out = out.transpose(0, 2, 1, 3, 4).reshape(hp, w, V)
-        return out[:h]
+        return out[:h, :, :V_out]
 
     return jax.vmap(one)(aep, vp)

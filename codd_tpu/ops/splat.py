@@ -303,35 +303,60 @@ def _splat_one_pallas(points, features, intrinsics, H, W, radius_px,
                       points_per_pixel, pixel_center_offset):
     """Sort fragments once, then composite with the Pallas tile kernel
     (ops/pallas/splat_composite.py) — no dummy rows, no second sort, no
-    global cumsum.  Inference path (the kernel has no VJP)."""
+    global cumsum.  Inference path (the kernel has no VJP).
+
+    The sort carries only (key, source-point-id) — 2 operands instead of
+    3+C (sorts cost ~linearly in sorted bytes; the r3 variant's 9-operand
+    sort ate most of the kernel path's win).  Everything else is
+    recovered post-sort: features/x/y/z by ONE packed (N, C+3) row gather
+    at the point id, alpha recomputed from the fragment's pixel (from the
+    key) and the point's projected position."""
     from .pallas.splat_composite import TILE_PX, WMAX, composite_tiles
 
     out_dtype = features.dtype
     points = points.astype(jnp.float32)
     features = features.astype(jnp.float32)
     intrinsics = intrinsics.astype(jnp.float32)
-    C = features.shape[1]
+    N, C = features.shape
     npix = H * W
     npix_pad = -(-npix // TILE_PX) * TILE_PX
     T = npix_pad // TILE_PX
+    f32 = jnp.float32
 
-    pid, alpha, zfrag, ffrag, Z = _project_fragments(
+    pid, _, _, _, Z = _project_fragments(
         points, features, intrinsics, H, W, radius_px, pixel_center_offset,
-        npix_pad)
+        npix_pad, materialize_features=False)
+    K = pid.shape[0] // N
 
     z_bits = 32 - int(npix_pad).bit_length()
     assert z_bits >= 8, "image too large for packed splat keys"
     zq = _quantize_z(Z, z_bits)
-    N, K = points.shape[0], pid.shape[0] // points.shape[0]
     key = (pid.astype(jnp.uint32) << z_bits) | jnp.broadcast_to(
         zq[None, :], (K, N)).reshape(-1)
+    fid = jnp.broadcast_to(jnp.arange(N, dtype=jnp.uint32)[None, :],
+                           (K, N)).reshape(-1)
 
-    ops = [key, alpha, zfrag] + list(ffrag)
-    sorted_ops = jax.lax.sort(tuple(ops), dimension=0, num_keys=1,
-                              is_stable=False)
-    pid_s = (sorted_ops[0] >> z_bits).astype(jnp.int32)
-    alpha_s, z_s = sorted_ops[1], sorted_ops[2]
-    feat_s = jnp.stack(sorted_ops[3:], axis=0)  # (C, M)
+    key_s, fid_s = jax.lax.sort((key, fid), dimension=0, num_keys=1,
+                                is_stable=False)
+    pid_s = (key_s >> z_bits).astype(jnp.int32)
+
+    # packed per-point row gather: [features..., x, y, z]
+    fx_, fy_, cx_, cy_ = intrinsics
+    zv = jnp.where(Z > 1e-4, Z, 1.0)
+    px_pt = fx_ * (points[:, 0] / zv) + cx_ + pixel_center_offset
+    py_pt = fy_ * (points[:, 1] / zv) + cy_ + pixel_center_offset
+    packed = jnp.concatenate(
+        [features, px_pt[:, None], py_pt[:, None], Z[:, None]], axis=1)
+    rows = jnp.take(packed, fid_s.astype(jnp.int32), axis=0)  # (M, C+3)
+
+    # recompute alpha from the landed pixel vs the projected position
+    lx = (pid_s % W).astype(f32)
+    ly = (pid_s // W).astype(f32)
+    d2 = (lx - rows[:, C]) ** 2 + (ly - rows[:, C + 1]) ** 2
+    alpha_s = jnp.clip(1.0 - d2 / (radius_px * radius_px), 0.0, 1.0 - 1e-4)
+    alpha_s = jnp.where(pid_s < npix_pad, alpha_s, 0.0)
+    z_s = rows[:, C + 2]
+    feat_s = rows[:, :C].T  # (C, M)
 
     # pad with WMAX sentinel rows so window DMAs stay in bounds; the
     # channel dim pads to a multiple of 8 because Mosaic requires manual

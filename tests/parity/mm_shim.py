@@ -315,6 +315,155 @@ def _extras_corr_index_forward(volume, coords, radius):
 
 
 # ---------------------------------------------------------------------------
+# pure-torch pytorch3d point renderer (forward only)
+#
+# pytorch3d (CUDA) is not installed; this reproduces the documented
+# semantics of the surface the reference motion module uses
+# (reference model/motion/motion.py:8-42,106-128): PerspectiveCameras
+# in_ndc=False + PointsRasterizer (z-ordered fragments, points_per_pixel,
+# NDC radius) + AlphaCompositor (front-to-back alpha compositing with
+# weights 1 - d^2/r^2).  Net pixel convention: the reference's double
+# negation of x/y converts OpenCV camera coords into pytorch3d's
+# left/up-positive frame, and pytorch3d's half-integer screen pixel
+# centers shift splats by -0.5 px relative to an integer-center grid —
+# i.e. a point projects to u = fx*X/Z + cx - 0.5 in integer-pixel-center
+# coordinates (the convention ops/splat.py reproduces with
+# pixel_center_offset=-0.5).
+# ---------------------------------------------------------------------------
+
+
+class PointsRasterizationSettings:
+    def __init__(self, image_size, radius, points_per_pixel=8, **kw):
+        self.image_size = image_size
+        self.radius = radius
+        self.points_per_pixel = points_per_pixel
+
+
+class PerspectiveCameras:
+    def __init__(self, focal_length=None, principal_point=None,
+                 image_size=None, in_ndc=False, device=None, **kw):
+        assert not in_ndc, "shim models the reference's in_ndc=False use"
+        self.focal_length = focal_length
+        self.principal_point = principal_point
+        self.image_size = image_size
+
+
+class Pointclouds:
+    def __init__(self, points, features):
+        self.points = points      # (B, N, 3) pytorch3d frame (x left, y up)
+        self.features = features  # (B, N, C)
+
+    def features_packed(self):
+        B, N, C = self.features.shape
+        return self.features.reshape(B * N, C)
+
+
+class _Fragments:
+    def __init__(self, idx, zbuf, dists):
+        self.idx = idx        # (B, H, W, K) packed point ids, -1 empty
+        self.zbuf = zbuf      # (B, H, W, K) view z, -1 empty
+        self.dists = dists    # (B, H, W, K) squared NDC dists, -1 empty
+
+
+class PointsRasterizer:
+    def __init__(self, cameras=None, raster_settings=None):
+        self.cameras = cameras
+        self.raster_settings = raster_settings
+
+    def forward(self, point_clouds, **kwargs):
+        import numpy as np
+
+        rs = self.raster_settings
+        cam = self.cameras
+        H, W = rs.image_size
+        K = rs.points_per_pixel
+        s = min(H, W)
+        r_px = rs.radius * s / 2.0            # NDC radius -> pixels
+        ndc_per_px2 = (2.0 / s) ** 2          # dists reported in NDC^2
+        pts = point_clouds.points.detach().cpu().numpy()
+        fx_fy = cam.focal_length.detach().cpu().numpy()
+        cx_cy = cam.principal_point.detach().cpu().numpy()
+        B, N, _ = pts.shape
+
+        idx = np.full((B, H, W, K), -1, np.int64)
+        zbuf = np.full((B, H, W, K), -1.0, np.float32)
+        dst2 = np.full((B, H, W, K), -1.0, np.float32)
+        R = int(np.ceil(r_px))
+        for b in range(B):
+            fx, fy = fx_fy[b]
+            cx, cy = cx_cy[b]
+            # undo the reference's x/y negation (OpenCV -> pytorch3d frame)
+            X, Y, Z = -pts[b, :, 0], -pts[b, :, 1], pts[b, :, 2]
+            ok = Z > 1e-8
+            zs = np.where(ok, Z, 1.0)
+            u = fx * X / zs + cx - 0.5   # integer-pixel-center coords
+            v = fy * Y / zs + cy - 0.5
+            frag_pid, frag_z, frag_d2, frag_src = [], [], [], []
+            for dy in range(-R + 1, R + 1):
+                for dx in range(-R + 1, R + 1):
+                    px = np.floor(u).astype(np.int64) + dx
+                    py = np.floor(v).astype(np.int64) + dy
+                    d2 = (px - u) ** 2 + (py - v) ** 2
+                    sel = (ok & (d2 <= r_px * r_px) & (px >= 0) & (px < W)
+                           & (py >= 0) & (py < H))
+                    (src,) = np.nonzero(sel)
+                    frag_pid.append(py[sel] * W + px[sel])
+                    frag_z.append(Z[sel])
+                    frag_d2.append(d2[sel])
+                    frag_src.append(src)
+            pid = np.concatenate(frag_pid)
+            z = np.concatenate(frag_z)
+            d2 = np.concatenate(frag_d2)
+            src = np.concatenate(frag_src)
+            order = np.lexsort((z, pid))
+            pid, z, d2, src = pid[order], z[order], d2[order], src[order]
+            # rank within pixel run
+            starts = np.r_[True, pid[1:] != pid[:-1]]
+            pos = np.arange(len(pid))
+            seg0 = np.maximum.accumulate(np.where(starts, pos, 0))
+            rank = pos - seg0
+            keep = rank < K
+            py_, px_ = pid[keep] // W, pid[keep] % W
+            idx[b, py_, px_, rank[keep]] = src[keep] + b * N  # packed ids
+            zbuf[b, py_, px_, rank[keep]] = z[keep]
+            dst2[b, py_, px_, rank[keep]] = d2[keep] * ndc_per_px2
+        t = point_clouds.points
+        return _Fragments(
+            torch.from_numpy(idx).to(t.device),
+            torch.from_numpy(zbuf).to(t.device, torch.float32),
+            torch.from_numpy(dst2).to(t.device, torch.float32))
+
+    __call__ = forward
+
+
+class AlphaCompositor(nn.Module):
+    """Front-to-back alpha compositing: out = sum_k f_k w_k prod_{j<k}(1-w_j)."""
+
+    def forward(self, fragments_idx, alphas, features, **kwargs):
+        # fragments_idx (B,K,H,W) packed ids (-1 empty); alphas (B,K,H,W);
+        # features (C, sumN)
+        B, K, H, W = fragments_idx.shape
+        C = features.shape[0]
+        out = torch.zeros(B, C, H, W, dtype=features.dtype)
+        transmit = torch.ones(B, H, W, dtype=features.dtype)
+        for k in range(K):
+            idx = fragments_idx[:, k]            # (B,H,W)
+            valid = (idx >= 0).to(features.dtype)
+            w = alphas[:, k] * valid * transmit  # (B,H,W)
+            f = features[:, idx.clamp_min(0)]    # (C,B,H,W)
+            out = out + f.permute(1, 0, 2, 3) * w.unsqueeze(1)
+            transmit = transmit * (1.0 - alphas[:, k] * valid)
+        return out
+
+
+class PointsRenderer(nn.Module):
+    def __init__(self, rasterizer, compositor):
+        super().__init__()
+        self.rasterizer = rasterizer
+        self.compositor = compositor
+
+
+# ---------------------------------------------------------------------------
 # install
 # ---------------------------------------------------------------------------
 
@@ -367,6 +516,12 @@ def install():
     parrots = _module("mmcv.utils.parrots_wrapper")
     parrots._BatchNorm = nn.modules.batchnorm._BatchNorm
     mmcv_utils.parrots_wrapper = parrots
+
+    def _mkdir_or_exist(path, mode=0o777):
+        import os
+        os.makedirs(path, mode=mode, exist_ok=True)
+
+    mmcv_utils.mkdir_or_exist = _mkdir_or_exist
     mmcv.utils = mmcv_utils
 
     runner = _module("mmcv.runner")
@@ -374,6 +529,23 @@ def install():
     runner.auto_fp16 = lambda *a, **k: (lambda f: f)
     runner.force_fp32 = lambda *a, **k: (lambda f: f)
     mmcv.runner = runner
+
+    # ---- pytorch3d (forward-only point renderer, above) ----
+    p3d = _module("pytorch3d")
+    p3d_renderer = _module("pytorch3d.renderer")
+    p3d_structures = _module("pytorch3d.structures")
+    p3d_renderer.PerspectiveCameras = PerspectiveCameras
+    p3d_renderer.PointsRasterizationSettings = PointsRasterizationSettings
+    p3d_renderer.PointsRenderer = PointsRenderer
+    p3d_renderer.PointsRasterizer = PointsRasterizer
+    p3d_renderer.AlphaCompositor = AlphaCompositor
+    p3d_structures.Pointclouds = Pointclouds
+    p3d.renderer = p3d_renderer
+    p3d.structures = p3d_structures
+
+    # ---- vendored torch HRNet-w18-small (the mmseg cnet oracle) ----
+    from hrnet_torch import HRNetW18Small
+    registry.register_module(module=HRNetW18Small, name="HRNet")
 
     # ---- lietorch ----
     lietorch = _module("lietorch")

@@ -62,6 +62,22 @@ def test_corr_lookup_matches_dense_volume_oracle(impl):
     np.testing.assert_allclose(out, ref, atol=3e-2)
 
 
+def test_corr_volume_pallas_select_matches_xla():
+    """The fused Pallas column-select (interpret mode on CPU) is bit-level
+    equivalent to the one-hot einsum path at radius 3 (production radius)."""
+    rng = np.random.RandomState(5)
+    f1 = rng.randn(2, 8, 16, 8).astype(np.float32)
+    f2 = rng.randn(2, 8, 16, 8).astype(np.float32)
+    pyr = build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=2,
+                             impl="volume", radius=3)
+    coords = rng.uniform(-2.0, 17.0, size=(2, 8, 16, 2)).astype(np.float32)
+    out_x = np.asarray(corr_lookup(pyr, jnp.asarray(coords), radius=3,
+                                   select="xla"))
+    out_p = np.asarray(corr_lookup(pyr, jnp.asarray(coords), radius=3,
+                                   select="pallas"))
+    np.testing.assert_allclose(out_p, out_x, atol=1e-5)
+
+
 def test_corr_lookup_center_identity():
     """Integer coords, window center recovers <f1,f2>/16 at the same pixel."""
     rng = np.random.RandomState(1)
