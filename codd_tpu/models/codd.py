@@ -78,6 +78,7 @@ class CODD(nn.Module):
     # numerics-path selectors (config `runtime` section; replaces the
     # former CODD_TPU_* env toggles — VERDICT r2 weak #6)
     init_cost_variant: str = "auto"   # stereo init-cost formulation
+    tile_warp_variant: str = "auto"   # stereo propagation warp (hitnet.py)
     gn_impl: str = "auto"             # GN aggregation path
     gn_bf16_scores: bool = False      # bf16 GN attention scores
     corr_impl: str = "auto"           # corr pyramid layout (ops.corr)
@@ -95,7 +96,7 @@ class CODD(nn.Module):
 
     def setup(self):
         self.stereo = HITNetStereo(self.max_disp, self.init_cost_variant,
-                                   name="stereo")
+                                   self.tile_warp_variant, name="stereo")
         if self.has_motion_net:
             self.motion = Motion(iters=self.iters, gn_impl=self.gn_impl,
                                  gn_bf16_scores=self.gn_bf16_scores,

@@ -282,6 +282,90 @@ def tile_warping(hyp3, fea_l, fea_r):
     return jnp.concatenate(cvs, -1)
 
 
+# tile-window warp: gathered columns per tile; exactness bound (see
+# tile_warping_tilewin docstring): 1.5*(|1-dx| + |dy|) + 4 <= _TILE_WIN/2
+_TILE_WIN = 24
+
+
+def tile_warping_tilewin(hyp3, fea_l, fea_r):
+    """`tile_warping` with per-TILE window gathers (TPU production path).
+
+    The per-pixel 4-column gather above is exact but descriptor-bound on
+    TPU: one gather descriptor per output pixel costs ~25 ns regardless of
+    size, so the full-res call is ~12 ms of pure descriptor overhead
+    (probe_prop_stages, 2026-08-19).  All 16 pixels of a 4x4 tile share
+    one slant-plane hypothesis, so their bilinear taps live within a
+    narrow column band around the tile-center position: ONE (4, 24, C)
+    block gather per TILE (16x fewer descriptors) followed by an in-band
+    one-hot tap selection (MXU contraction over the 24-wide band; the
+    one-hot never leaves fp32 accumulation).
+
+    Exactness contract: identical to `tile_warping` whenever
+    ``1.5 * (|1 - dx| + |dy|) <= 8`` (e.g. |dx| <= 4 with dy = 0) — far
+    beyond trained slant magnitudes (|dx|,|dy| < ~1).  Pixels whose taps
+    fall outside the band (pathological slants only) read zeros, matching
+    the zeros-padding convention for out-of-image taps.  Regression-tested
+    against `tile_warping` at bounded slants (tests/test_stereo.py).
+    """
+    B, H, W, C = fea_r.shape
+    ht, wt = H // 4, W // 4
+    d, dx, dy = hyp3[..., 0], hyp3[..., 1], hyp3[..., 2]  # (B, ht, wt)
+    local_d = to_plane(d, dx, dy, size=4)                 # (B, H, W)
+    x, _ = meshgrid_xy(H, W, fea_r.dtype)
+    p = x[None] - local_d
+    x0 = jnp.floor(p)
+    f = (p - x0).astype(fea_r.dtype)                      # (B, H, W)
+
+    TW = _TILE_WIN
+    P = TW  # zero pad: clamped windows + out-of-image taps read zeros
+    frp = jnp.pad(fea_r, ((0, 0), (0, 0), (P, P), (0, 0)))
+    xc = 4.0 * jnp.arange(wt, dtype=p.dtype) + 1.5        # tile-center x
+    s = jnp.floor(xc[None, None, :] - d).astype(jnp.int32) - TW // 2 + P
+    s = jnp.clip(s, 0, W + 2 * P - TW)                    # (B, ht, wt)
+
+    ys = jnp.broadcast_to(
+        4 * jnp.arange(ht, dtype=jnp.int32)[None, :, None], (B, ht, wt))
+    idx = jnp.stack([ys, s], axis=-1).reshape(B, -1, 2)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+
+    def gather_one(op, ind):
+        return jax.lax.gather(
+            op, ind, dnums, slice_sizes=(4, TW, C),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+    win = jax.vmap(gather_one)(frp, idx).reshape(B, ht, wt, 4, TW, C)
+
+    def t4(a):  # (B, H, W) -> (B, ht, wt, i, j) tile-space pixel view
+        return a.reshape(B, ht, 4, wt, 4).transpose(0, 1, 3, 2, 4)
+
+    # window coords of the k=0 left tap, per pixel
+    rel0 = t4(x0.astype(jnp.int32) + P) - s[:, :, :, None, None]
+    f_t = t4(f)                                            # (B,ht,wt,i,j)
+
+    # one-hot tap weights over the band: m = (k, j), k outer to match the
+    # (-1, 0, +1) concat block order of the exact path
+    ks = jnp.array([-1, 0, 1], dtype=jnp.int32)
+    tap0 = (rel0[:, :, :, :, None, :]
+            - ks[None, None, None, None, :, None])         # (B,ht,wt,i,k,j)
+    wio = jnp.arange(TW, dtype=jnp.int32)
+    hit0 = (wio == tap0[..., None])                        # left tap
+    hit1 = (wio == tap0[..., None] + 1)                    # right tap
+    fb = f_t[:, :, :, :, None, :, None].astype(jnp.float32)
+    sel = hit0 * (1.0 - fb) + hit1 * fb                    # (B,ht,wt,i,k,j,TW)
+
+    warped = jnp.einsum("bhwikjt,bhwitc->bhwikjc",
+                        sel.astype(fea_r.dtype), win,
+                        preferred_element_type=jnp.float32)
+    fl_t = fea_l.reshape(B, ht, 4, wt, 4, C).transpose(0, 1, 3, 2, 4, 5)
+    cost = jnp.sum(jnp.abs(fl_t[:, :, :, :, None].astype(jnp.float32)
+                           - warped), axis=-1)             # (B,ht,wt,i,k,j)
+    # channel layout matches concat(pixel_unshuffle): k*16 + i*4 + j
+    cost = cost.transpose(0, 1, 2, 4, 3, 5).reshape(B, ht, wt, 48)
+    return cost.astype(fea_l.dtype)
+
+
 class ResBlock(nn.Module):
     features: int
     dilation: int = 1
@@ -296,12 +380,25 @@ class ResBlock(nn.Module):
         return lrelu(x + y)
 
 
+def _resolve_warp_variant(variant: str) -> str:
+    """'auto' -> tile-window gathers on TPU (descriptor-bound otherwise),
+    exact per-pixel gathers elsewhere (CPU tests / golden parity)."""
+    if variant != "auto":
+        return variant
+    return "tilewin" if jax.default_backend() == "tpu" else "exact"
+
+
 class _CVEncoder(nn.Module):
     """unshuffled |fea_l| + tile-warp cost -> 16ch (the `decrease` layer)."""
 
+    warp_variant: str = "auto"
+
     @nn.compact
     def __call__(self, hyp3, fea_l, fea_r, fea_mag):
-        cv = tile_warping(hyp3, fea_l, fea_r)
+        if _resolve_warp_variant(self.warp_variant) == "tilewin":
+            cv = tile_warping_tilewin(hyp3, fea_l, fea_r)
+        else:
+            cv = tile_warping(hyp3, fea_l, fea_r)
         return lrelu(Conv(16, 1, name="decrease")(
             jnp.concatenate([fea_mag, cv], -1)))
 
@@ -309,11 +406,14 @@ class _CVEncoder(nn.Module):
 class TileUpdate0(nn.Module):
     """Coarsest-level refinement (propagation.py:124-172)."""
 
+    warp_variant: str = "auto"
+
     @nn.compact
     def __call__(self, fea_l, fea_r, hyp):
         fea_mag = pixel_unshuffle(
             jnp.sum(jnp.abs(fea_l), -1, keepdims=True), 4)
-        cv = _CVEncoder(name="cv")(hyp[..., :3], fea_l, fea_r, fea_mag)
+        cv = _CVEncoder(self.warp_variant,
+                        name="cv")(hyp[..., :3], fea_l, fea_r, fea_mag)
         x = lrelu(Conv(32, 1, name="conv0")(jnp.concatenate([hyp, cv], -1)))
         x = ResBlock(32, name="resblock0")(x)
         x = ResBlock(32, name="resblock1")(x)
@@ -326,11 +426,13 @@ class TileUpdate0(nn.Module):
 class TileUpdate(nn.Module):
     """Two-hypothesis refinement + confidence selection (propagation.py:175-248)."""
 
+    warp_variant: str = "auto"
+
     @nn.compact
     def __call__(self, fea_l, fea_r, hyp_cur, hyp_prev):
         fea_mag = pixel_unshuffle(
             jnp.sum(jnp.abs(fea_l), -1, keepdims=True), 4)
-        enc = _CVEncoder(name="cv")
+        enc = _CVEncoder(self.warp_variant, name="cv")
         cv_cur = enc(hyp_cur[..., :3], fea_l, fea_r, fea_mag)
         hyp_up = hyp_upsample(hyp_prev, 2.0)
         cv_up = enc(hyp_up[..., :3], fea_l, fea_r, fea_mag)
@@ -398,13 +500,16 @@ class FinalTileUpdate(nn.Module):
 
 
 class TilePropagation(nn.Module):
+    warp_variant: str = "auto"
+
     @nn.compact
     def __call__(self, fea_l, fea_r, init_hyps, train: bool = False):
-        t16 = TileUpdate0(name="tile_update0")(fea_l[0], fea_r[0], init_hyps[0])
-        t8 = TileUpdate(name="tile_update1")(fea_l[1], fea_r[1], init_hyps[1], t16)
-        t4 = TileUpdate(name="tile_update2")(fea_l[2], fea_r[2], init_hyps[2], t8[0])
-        t2 = TileUpdate(name="tile_update3")(fea_l[3], fea_r[3], init_hyps[3], t4[0])
-        t1 = TileUpdate(name="tile_update4")(fea_l[4], fea_r[4], init_hyps[4], t2[0])
+        wv = self.warp_variant
+        t16 = TileUpdate0(wv, name="tile_update0")(fea_l[0], fea_r[0], init_hyps[0])
+        t8 = TileUpdate(wv, name="tile_update1")(fea_l[1], fea_r[1], init_hyps[1], t16)
+        t4 = TileUpdate(wv, name="tile_update2")(fea_l[2], fea_r[2], init_hyps[2], t8[0])
+        t2 = TileUpdate(wv, name="tile_update3")(fea_l[3], fea_r[3], init_hyps[3], t4[0])
+        t1 = TileUpdate(wv, name="tile_update4")(fea_l[4], fea_r[4], init_hyps[4], t2[0])
         r1x = PostTileUpdate(32, 16, 4, name="tile_update4_1")(fea_l[2], t1[0])
         r05x = PostTileUpdate(32, 16, 4, name="tile_update5")(
             fea_l[3], hyp_upsample(r1x, 1.0))
@@ -446,6 +551,7 @@ class HITNetStereo(nn.Module):
 
     max_disp: int = 320
     init_cost_variant: str = "auto"
+    tile_warp_variant: str = "auto"
 
     @nn.compact
     def __call__(self, left_img, right_img, train: bool = False):
@@ -460,7 +566,8 @@ class HITNetStereo(nn.Module):
         init_cv, init_hyps = TileInitialization(
             self.max_disp, self.init_cost_variant,
             name="tile_init")(fea_l, fea_r)
-        final_disp, aux = TilePropagation(name="tile_update")(
+        final_disp, aux = TilePropagation(
+            self.tile_warp_variant, name="tile_update")(
             fea_l, fea_r, init_hyps, train=train)
 
         outputs = {

@@ -134,53 +134,82 @@ def _bilinear_combine(dots, fy, fx, h, w):
     return out.reshape(B, h, w, (t - 1) * (t - 1))
 
 
+# Narrow-slab width: slabs wider than this are gathered as a 128-aligned
+# SW-wide window around the needed columns instead of full rows.  SW =
+# 128 + 8 so any t<=8 window starting in a 128-aligned block fits even
+# after the end-of-row clamp (sx_off <= SW - t).
+_SLAB_W = 136
+
+
 def _lookup_level_volume(vol: jnp.ndarray, coords: jnp.ndarray,
                          radius: int, select: str = "xla") -> jnp.ndarray:
     """vol: (B, N, Hp, Wp) padded per-level correlation volume;
     coords: (B, h, w, 2) in level pixels.  Returns (B, h, w, (2r+1)^2).
 
-    Per query: ONE contiguous (t, Wp) row-slab gather from the volume
-    (t*Wp*2 B >= 500 B contiguous — near-bandwidth on TPU), then the t
-    needed columns are selected either by an iota-compare one-hot
+    Per query: ONE contiguous (t, SW) row-slab gather from the volume
+    (SW = min(Wp, 136) — for wide levels the slab is a 128-aligned window
+    around the needed columns, cutting gather traffic ~2.5x at L0; rows
+    stay >= 500 B contiguous, near-bandwidth on TPU).  The t needed
+    columns are then selected either by an iota-compare one-hot
     contraction (select="xla") or by the fused VMEM-resident Pallas kernel
     (select="pallas", ops/pallas/corr_select.py — skips the HBM round-trip
-    of the (B, N, Wp, t) mask and the 128-lane padding of t-wide matmuls)."""
+    of the (B, N, SW, t) mask and the 128-lane padding of t-wide matmuls)."""
     B, N, Hp, Wp = vol.shape
     h, w = coords.shape[1:3]
     t = 2 * radius + 2
     hl, wl = Hp - 2 * (2 * radius + 1), Wp - 2 * (2 * radius + 1)
     sy, sx, fy, fx, vq = _window_starts(coords, hl, wl, radius)
 
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(0,),
-        start_index_map=(0, 1))
     n_iota = jnp.arange(N, dtype=jnp.int32)
+    if Wp > _SLAB_W:
+        SW = _SLAB_W
+        # 128-aligned window start, clamped so the slab stays in-row;
+        # after the clamp sx_off <= SW - t always holds (see _SLAB_W note)
+        s0 = jnp.minimum((sx // 128) * 128, Wp - SW)
+        sx = sx - s0
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1, 2))
 
-    def slab_one(vol_b, sy_b):
-        idx = jnp.stack([n_iota, sy_b], axis=-1)  # (N, 2)
-        return jax.lax.gather(
-            vol_b, idx, dnums, slice_sizes=(1, t, Wp),
-            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)  # (N, t, Wp)
+        def slab_one(vol_b, sy_b, s0_b):
+            idx = jnp.stack([n_iota, sy_b, s0_b], axis=-1)  # (N, 3)
+            return jax.lax.gather(
+                vol_b, idx, dnums, slice_sizes=(1, t, SW),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
-    slabs = jax.vmap(slab_one)(vol, sy)  # (B, N, t, Wp)
+        slabs = jax.vmap(slab_one)(vol, sy, s0)  # (B, N, t, SW)
+    else:
+        SW = Wp
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1))
+
+        def slab_one(vol_b, sy_b):
+            idx = jnp.stack([n_iota, sy_b], axis=-1)  # (N, 2)
+            return jax.lax.gather(
+                vol_b, idx, dnums, slice_sizes=(1, t, SW),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+        slabs = jax.vmap(slab_one)(vol, sy)  # (B, N, t, SW)
 
     if select == "pallas":
-        from .pallas.corr_select import window_select_combine
+        from .pallas.corr_select import window_select
 
         interpret = jax.default_backend() in ("cpu", "gpu", "cuda", "rocm")
-        out = window_select_combine(slabs, sx, fy, fx, vq, radius=radius,
-                                    interpret=interpret)
-        return out.reshape(B, h, w, (t - 1) * (t - 1))
-
-    # column selection: dots[b,n,y,k] = slabs[b,n,y,sx+k]; the one-hot
-    # contraction runs on the MXU and never materializes scalar gathers
-    w_iota = jnp.arange(Wp, dtype=jnp.int32)
-    k_iota = jnp.arange(t, dtype=jnp.int32)
-    mask = (w_iota[None, None, :, None]
-            == sx[:, :, None, None] + k_iota[None, None, None, :]
-            ).astype(slabs.dtype)  # (B, N, Wp, t)
-    dots = jnp.einsum("bnyw,bnwk->bnyk", slabs, mask,
-                      preferred_element_type=jnp.float32)
+        sx_rows = jnp.broadcast_to(sx[:, :, None], (B, N, t)).reshape(-1)
+        dots = window_select(slabs.reshape(B * N * t, SW), sx_rows, t=t,
+                             interpret=interpret)
+        dots = dots.reshape(B, N, t, t)
+    else:
+        # column selection: dots[b,n,y,k] = slabs[b,n,y,sx+k]; the one-hot
+        # contraction runs on the MXU, never materializing scalar gathers
+        w_iota = jnp.arange(SW, dtype=jnp.int32)
+        k_iota = jnp.arange(t, dtype=jnp.int32)
+        mask = (w_iota[None, None, :, None]
+                == sx[:, :, None, None] + k_iota[None, None, None, :]
+                ).astype(slabs.dtype)  # (B, N, SW, t)
+        dots = jnp.einsum("bnyw,bnwk->bnyk", slabs, mask,
+                          preferred_element_type=jnp.float32)
     dots = dots * vq[:, :, None, None]
     return _bilinear_combine(dots, fy, fx, h, w)
 

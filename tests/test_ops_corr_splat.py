@@ -78,6 +78,26 @@ def test_corr_volume_pallas_select_matches_xla():
     np.testing.assert_allclose(out_p, out_x, atol=1e-5)
 
 
+def test_corr_volume_narrow_slab_wide_level():
+    """Levels wider than _SLAB_W take the 128-aligned narrow-slab gather;
+    both select backends must still match the dense oracle (exercises the
+    s0 clamp at the right edge and the sx re-basing)."""
+    rng = np.random.RandomState(7)
+    f1 = rng.randn(1, 3, 128, 8).astype(np.float32)
+    f2 = rng.randn(1, 3, 128, 8).astype(np.float32)
+    pyr = build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=1,
+                             impl="volume", radius=3)
+    assert pyr["vols"][0].shape[-1] > 136  # narrow path actually taken
+    coords = rng.uniform(-3.0, 130.0, size=(1, 3, 128, 2)).astype(np.float32)
+    out_x = np.asarray(corr_lookup(pyr, jnp.asarray(coords), radius=3,
+                                   select="xla"))
+    out_p = np.asarray(corr_lookup(pyr, jnp.asarray(coords), radius=3,
+                                   select="pallas"))
+    ref = _dense_corr_lookup(f1, f2, coords, radius=3, num_levels=1)
+    np.testing.assert_allclose(out_x, ref, atol=3e-2)
+    np.testing.assert_allclose(out_p, out_x, atol=1e-5)
+
+
 def test_corr_lookup_center_identity():
     """Integer coords, window center recovers <f1,f2>/16 at the same pixel."""
     rng = np.random.RandomState(1)

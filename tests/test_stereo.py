@@ -8,6 +8,7 @@ import jax.numpy as jnp
 
 from codd_tpu.models.stereo.hitnet import (
     HITNetStereo, HITUNet, _warp_by_disp, calc_init_cost, tile_warping,
+    tile_warping_tilewin,
 )
 from codd_tpu.ops.upsample import pixel_unshuffle, to_plane
 
@@ -58,6 +59,31 @@ def test_tile_warping_matches_per_warp_oracle():
         cvs.append(pixel_unshuffle(cv, 4))
     want = jnp.concatenate(cvs, -1)
 
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+    # the tile-window variant (TPU production path) is exact within its
+    # slant bound (1.5*(|1-dx|+|dy|) <= 8; here <= 3), incl. out-of-image
+    # windows — same oracle, same tolerance
+    got_tw = tile_warping_tilewin(hyp3, fea_l, fea_r)
+    np.testing.assert_allclose(np.asarray(got_tw), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_tile_warping_tilewin_large_image_edges():
+    """tilewin at a wider image: window clamping at both edges and large
+    disparities across several 128-col blocks must match the exact path."""
+    rng = np.random.RandomState(11)
+    B, H, W, C = 1, 8, 160, 4
+    fea_l = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    fea_r = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    ht, wt = H // 4, W // 4
+    d = rng.uniform(-6, W + 6, (B, ht, wt)).astype(np.float32)
+    dx = rng.uniform(-2.0, 2.0, (B, ht, wt)).astype(np.float32)
+    dy = rng.uniform(-1.0, 1.0, (B, ht, wt)).astype(np.float32)
+    hyp3 = jnp.asarray(np.stack([d, dx, dy], axis=-1))
+    got = tile_warping_tilewin(hyp3, fea_l, fea_r)
+    want = tile_warping(hyp3, fea_l, fea_r)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=1e-4)
 
