@@ -45,6 +45,12 @@ def main():
                    help="full-res splat backend (ops.splat impls)")
     p.add_argument("--splat-impl-lr", default="",
                    help="quarter-res splat backend ('' = same)")
+    p.add_argument("--init-cost", default="auto",
+                   help="stereo init-cost variant (auto/unrolled/map/"
+                        "phases)")
+    p.add_argument("--tile-warp", default="auto",
+                   help="stereo propagation warp variant (auto/exact/"
+                        "tilewin)")
     p.add_argument("--corr-impl", default="auto",
                    help="corr pyramid/lookup path (ops.corr impls: auto, "
                         "patch, volume, volume_pallas)")
@@ -69,7 +75,8 @@ def main():
     model = CODD(max_disp=args.max_disp, iters=args.gn_iters,
                  splat_impl=args.splat_impl, splat_impl_lr=args.splat_impl_lr,
                  gn_impl=args.gn_impl, gn_bf16_scores=args.gn_bf16,
-                 corr_impl=args.corr_impl)
+                 corr_impl=args.corr_impl, tile_warp_variant=args.tile_warp,
+                 init_cost_variant=args.init_cost)
     rng = np.random.RandomState(0)
     # rotate through distinct synthetic frames so no layer of the stack can
     # dedup identical executions

@@ -120,11 +120,14 @@ def calc_init_cost(feat_l: jnp.ndarray, feat_r_full: jnp.ndarray,
     wr = feat_r_full.shape[2]
     D = max_disp
 
+    # "phases" wins nothing at model scale (bench A/B 2026-08-19) — the
+    # stride-4 slices of "unrolled" are not the bottleneck; keep it opt-in
     if variant == "auto":
         variant = "map" if jax.default_backend() == "cpu" else "unrolled"
-    if variant == "map" and (D % 4 != 0 or D < 4):
+    if variant in ("map", "phases") and (D % 4 != 0 or D < 4):
         variant = "unrolled"
-    assert variant in ("unrolled", "map"), f"bad init-cost variant {variant}"
+    assert variant in ("unrolled", "map", "phases"), \
+        f"bad init-cost variant {variant}"
 
     # (B, ht, C, w): C on sublanes, width on lanes
     lT = jnp.moveaxis(feat_l, -1, 2)
@@ -136,6 +139,29 @@ def calc_init_cost(feat_l: jnp.ndarray, feat_r_full: jnp.ndarray,
         for d in range(D):
             sl = jax.lax.slice(rp, (0, 0, 0, D - d),
                                (B, ht, C, D - d + 4 * wt), (1, 1, 1, 4))
+            costs.append(jnp.sum(jnp.abs(lT - sl), axis=2))  # (B, ht, wt)
+        return jnp.stack(costs, axis=-1)  # (B, ht, wt, D)
+
+    if variant == "phases":
+        # Same math as "unrolled" but the four column phases are split
+        # into contiguous planes ONCE, so every per-d slice is dense:
+        # the stride-4 lane slices of "unrolled" read at ~1/4 lane
+        # efficiency, and D of them dominate tile_init at the fine levels
+        # (12.2 ms measured 2026-08-19).  Column D-d+4j with d = 4k+p
+        # lives in phase (4-p)%4 at folded row D/4 - k + j - [p>0].
+        need = D + 4 * wt
+        if rp.shape[-1] >= need:
+            rp4 = rp[..., :need]
+        else:
+            rp4 = jnp.pad(rp, ((0, 0),) * 3 + ((0, need - rp.shape[-1]),))
+        rf = rp4.reshape(B, ht, C, need // 4, 4)
+        phases = [rf[..., q] for q in range(4)]  # each (B, ht, C, need/4)
+        costs = []
+        for d in range(D):
+            k, p = divmod(d, 4)
+            q = (4 - p) % 4
+            base = D // 4 - k - (1 if p else 0)
+            sl = jax.lax.slice_in_dim(phases[q], base, base + wt, axis=3)
             costs.append(jnp.sum(jnp.abs(lT - sl), axis=2))  # (B, ht, wt)
         return jnp.stack(costs, axis=-1)  # (B, ht, wt, D)
 
@@ -287,7 +313,8 @@ def tile_warping(hyp3, fea_l, fea_r):
 _TILE_WIN = 24
 
 
-def tile_warping_tilewin(hyp3, fea_l, fea_r):
+def tile_warping_tilewin(hyp3, fea_l, fea_r, contraction: str = "reduce",
+                         tw: int = _TILE_WIN):
     """`tile_warping` with per-TILE window gathers (TPU production path).
 
     The per-pixel 4-column gather above is exact but descriptor-bound on
@@ -316,7 +343,7 @@ def tile_warping_tilewin(hyp3, fea_l, fea_r):
     x0 = jnp.floor(p)
     f = (p - x0).astype(fea_r.dtype)                      # (B, H, W)
 
-    TW = _TILE_WIN
+    TW = tw
     P = TW  # zero pad: clamped windows + out-of-image taps read zeros
     frp = jnp.pad(fea_r, ((0, 0), (0, 0), (P, P), (0, 0)))
     xc = 4.0 * jnp.arange(wt, dtype=p.dtype) + 1.5        # tile-center x
@@ -344,20 +371,37 @@ def tile_warping_tilewin(hyp3, fea_l, fea_r):
     rel0 = t4(x0.astype(jnp.int32) + P) - s[:, :, :, None, None]
     f_t = t4(f)                                            # (B,ht,wt,i,j)
 
-    # one-hot tap weights over the band: m = (k, j), k outer to match the
-    # (-1, 0, +1) concat block order of the exact path
+    # per-pixel tap weights over the band: m = (k, j), k outer to match
+    # the (-1, 0, +1) concat block order of the exact path
     ks = jnp.array([-1, 0, 1], dtype=jnp.int32)
     tap0 = (rel0[:, :, :, :, None, :]
             - ks[None, None, None, None, :, None])         # (B,ht,wt,i,k,j)
-    wio = jnp.arange(TW, dtype=jnp.int32)
-    hit0 = (wio == tap0[..., None])                        # left tap
-    hit1 = (wio == tap0[..., None] + 1)                    # right tap
-    fb = f_t[:, :, :, :, None, :, None].astype(jnp.float32)
-    sel = hit0 * (1.0 - fb) + hit1 * fb                    # (B,ht,wt,i,k,j,TW)
+    fb = f_t[:, :, :, :, None, :].astype(jnp.float32)      # (B,ht,wt,i,k=1,j)
 
-    warped = jnp.einsum("bhwikjt,bhwitc->bhwikjc",
-                        sel.astype(fea_r.dtype), win,
-                        preferred_element_type=jnp.float32)
+    # band contraction as an unrolled fused multiply-accumulate over the
+    # TW columns: a batched (12, TW)x(TW, C) einsum here lowers to 123k
+    # tiny MXU matmuls (pad-dominated — measured 6.55 -> 2.34 FPS at model
+    # scale, 2026-08-19); the unrolled sum is pure VPU elementwise work
+    # that XLA fuses into one pass with no materialized one-hot.
+    winf = win.astype(jnp.float32)
+    if contraction == "mac":
+        warped = jnp.zeros(tap0.shape + (C,), jnp.float32)  # (B,ht,wt,i,k,j,C)
+        for wcol in range(TW):
+            wt_w = ((tap0 == wcol) * (1.0 - fb)
+                    + (tap0 + 1 == wcol) * fb)             # (B,ht,wt,i,k,j)
+            warped = warped + (wt_w[..., None]
+                               * winf[:, :, :, :, None, None, wcol, :])
+    elif contraction == "reduce":
+        # streaming reduce over the band: virtual (.., k, j, w, c) product
+        # reduced on w (second-minor) — no materialized one-hot
+        wio = jnp.arange(TW, dtype=jnp.int32)
+        selw = ((tap0[..., None] == wio) * (1.0 - fb[..., None])
+                + (tap0[..., None] + 1 == wio) * fb[..., None]
+                )                                          # (B,ht,wt,i,k,j,TW)
+        warped = jnp.sum(selw[..., None]
+                         * winf[:, :, :, :, None, None, :, :], axis=-2)
+    else:
+        raise ValueError(f"bad tilewin contraction {contraction}")
     fl_t = fea_l.reshape(B, ht, 4, wt, 4, C).transpose(0, 1, 3, 2, 4, 5)
     cost = jnp.sum(jnp.abs(fl_t[:, :, :, :, None].astype(jnp.float32)
                            - warped), axis=-1)             # (B,ht,wt,i,k,j)
@@ -381,11 +425,14 @@ class ResBlock(nn.Module):
 
 
 def _resolve_warp_variant(variant: str) -> str:
-    """'auto' -> tile-window gathers on TPU (descriptor-bound otherwise),
-    exact per-pixel gathers elsewhere (CPU tests / golden parity)."""
+    """'auto' -> exact per-pixel gathers everywhere.  tilewin wins in
+    ISOLATION on TPU (10.9 vs 14.4 ms/call at full res, probe_tilewarp
+    2026-08-19) but LOSES at model scale (bench 6.00 vs 6.55 FPS — the
+    exact path's gather fuses better with its producers); it stays
+    opt-in until it wins at the bench level."""
     if variant != "auto":
         return variant
-    return "tilewin" if jax.default_backend() == "tpu" else "exact"
+    return "exact"
 
 
 class _CVEncoder(nn.Module):

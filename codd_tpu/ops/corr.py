@@ -134,26 +134,21 @@ def _bilinear_combine(dots, fy, fx, h, w):
     return out.reshape(B, h, w, (t - 1) * (t - 1))
 
 
-# Narrow-slab width: slabs wider than this are gathered as a 128-aligned
-# SW-wide window around the needed columns instead of full rows.  SW =
-# 128 + 8 so any t<=8 window starting in a 128-aligned block fits even
-# after the end-of-row clamp (sx_off <= SW - t).
-_SLAB_W = 136
-
-
 def _lookup_level_volume(vol: jnp.ndarray, coords: jnp.ndarray,
                          radius: int, select: str = "xla") -> jnp.ndarray:
     """vol: (B, N, Hp, Wp) padded per-level correlation volume;
     coords: (B, h, w, 2) in level pixels.  Returns (B, h, w, (2r+1)^2).
 
-    Per query: ONE contiguous (t, SW) row-slab gather from the volume
-    (SW = min(Wp, 136) — for wide levels the slab is a 128-aligned window
-    around the needed columns, cutting gather traffic ~2.5x at L0; rows
-    stay >= 500 B contiguous, near-bandwidth on TPU).  The t needed
-    columns are then selected either by an iota-compare one-hot
-    contraction (select="xla") or by the fused VMEM-resident Pallas kernel
+    Per query: ONE contiguous (t, Wp) FULL-ROW slab gather from the volume
+    (t*Wp*2 B >= 500 B contiguous — near-bandwidth on TPU).  The slab must
+    cover the whole minor dim: gathers that dynamically slice the minor
+    (lane) dimension fall off XLA:TPU's fast row-gather path entirely —
+    a 128-aligned 136-wide "narrow slab" variant measured 6.55 -> 2.45 FPS
+    at model scale (2026-08-19) and was reverted.  The t needed columns
+    are then selected either by an iota-compare one-hot contraction
+    (select="xla") or by the fused VMEM-resident Pallas kernel
     (select="pallas", ops/pallas/corr_select.py — skips the HBM round-trip
-    of the (B, N, SW, t) mask and the 128-lane padding of t-wide matmuls)."""
+    of the (B, N, Wp, t) mask and the 128-lane padding of t-wide matmuls)."""
     B, N, Hp, Wp = vol.shape
     h, w = coords.shape[1:3]
     t = 2 * radius + 2
@@ -161,36 +156,18 @@ def _lookup_level_volume(vol: jnp.ndarray, coords: jnp.ndarray,
     sy, sx, fy, fx, vq = _window_starts(coords, hl, wl, radius)
 
     n_iota = jnp.arange(N, dtype=jnp.int32)
-    if Wp > _SLAB_W:
-        SW = _SLAB_W
-        # 128-aligned window start, clamped so the slab stays in-row;
-        # after the clamp sx_off <= SW - t always holds (see _SLAB_W note)
-        s0 = jnp.minimum((sx // 128) * 128, Wp - SW)
-        sx = sx - s0
-        dnums = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2), collapsed_slice_dims=(0,),
-            start_index_map=(0, 1, 2))
+    SW = Wp
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(0,),
+        start_index_map=(0, 1))
 
-        def slab_one(vol_b, sy_b, s0_b):
-            idx = jnp.stack([n_iota, sy_b, s0_b], axis=-1)  # (N, 3)
-            return jax.lax.gather(
-                vol_b, idx, dnums, slice_sizes=(1, t, SW),
-                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    def slab_one(vol_b, sy_b):
+        idx = jnp.stack([n_iota, sy_b], axis=-1)  # (N, 2)
+        return jax.lax.gather(
+            vol_b, idx, dnums, slice_sizes=(1, t, SW),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
-        slabs = jax.vmap(slab_one)(vol, sy, s0)  # (B, N, t, SW)
-    else:
-        SW = Wp
-        dnums = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2), collapsed_slice_dims=(0,),
-            start_index_map=(0, 1))
-
-        def slab_one(vol_b, sy_b):
-            idx = jnp.stack([n_iota, sy_b], axis=-1)  # (N, 2)
-            return jax.lax.gather(
-                vol_b, idx, dnums, slice_sizes=(1, t, SW),
-                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-
-        slabs = jax.vmap(slab_one)(vol, sy)  # (B, N, t, SW)
+    slabs = jax.vmap(slab_one)(vol, sy)  # (B, N, t, SW)
 
     if select == "pallas":
         from .pallas.corr_select import window_select

@@ -205,11 +205,22 @@ def build_system(Ts, ae, target, weight, depth, intrinsics, radius=32,
         from .pallas.gn_window import gn_window_aggregate
         interpret = jax.devices()[0].platform in ("cpu", "gpu", "cuda",
                                                   "rocm")
-        agg = gn_window_aggregate(ae.astype(f32),
-                                  vals.reshape(B, h, w, 27),
-                                  radius=radius, bs=_GN_BLOCK,
-                                  bf16_scores=bf16_scores,
-                                  interpret=interpret)
+        if not interpret:
+            # The Mosaic-compiled kernel DIVERGES on real TPU (rel err
+            # 7.8e-2 at the production shape, scripts/check_gn_pallas_tpu
+            # 2026-08-19) while interpret mode matches bit-near; it is
+            # also a perf TIE with the XLA windowed path (1.61 vs
+            # 1.64 ms/iter).  Fall back until the miscompile is root-
+            # caused — silent wrong numbers are never an option.
+            agg = _windowed_aggregate(aef.reshape(B, h, w, -1),
+                                      vals.reshape(B, h, w, 27), radius,
+                                      bf16_scores=bf16_scores)
+        else:
+            agg = gn_window_aggregate(ae.astype(f32),
+                                      vals.reshape(B, h, w, 27),
+                                      radius=radius, bs=_GN_BLOCK,
+                                      bf16_scores=bf16_scores,
+                                      interpret=interpret)
     elif impl == "windowed":
         agg = _windowed_aggregate(aef.reshape(B, h, w, -1),
                                   vals.reshape(B, h, w, 27), radius,

@@ -78,16 +78,14 @@ def test_corr_volume_pallas_select_matches_xla():
     np.testing.assert_allclose(out_p, out_x, atol=1e-5)
 
 
-def test_corr_volume_narrow_slab_wide_level():
-    """Levels wider than _SLAB_W take the 128-aligned narrow-slab gather;
-    both select backends must still match the dense oracle (exercises the
-    s0 clamp at the right edge and the sx re-basing)."""
+def test_corr_volume_wide_level():
+    """Wide level (Wp > 128): both select backends match the dense oracle
+    across several 128-column blocks and at both image edges."""
     rng = np.random.RandomState(7)
     f1 = rng.randn(1, 3, 128, 8).astype(np.float32)
     f2 = rng.randn(1, 3, 128, 8).astype(np.float32)
     pyr = build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=1,
                              impl="volume", radius=3)
-    assert pyr["vols"][0].shape[-1] > 136  # narrow path actually taken
     coords = rng.uniform(-3.0, 130.0, size=(1, 3, 128, 2)).astype(np.float32)
     out_x = np.asarray(corr_lookup(pyr, jnp.asarray(coords), radius=3,
                                    select="xla"))

@@ -13,7 +13,7 @@ from codd_tpu.models.stereo.hitnet import (
 from codd_tpu.ops.upsample import pixel_unshuffle, to_plane
 
 
-@pytest.mark.parametrize("variant", ["unrolled", "map"])
+@pytest.mark.parametrize("variant", ["unrolled", "map", "phases"])
 @pytest.mark.parametrize("D", [6, 8])  # 6 exercises the D%4!=0 map fallback
 def test_calc_init_cost_gather_semantics(variant, D):
     rng = np.random.RandomState(0)
