@@ -28,6 +28,16 @@ def build_estimator(model_cfg: Dict[str, Any]) -> CODD:
     # numerics-path selectors (formerly CODD_TPU_* env toggles); every
     # behavioral switch lives in configs, like the reference's configs/**
     runtime = model_cfg.get("runtime") or {}
+    _known = {"init_cost_variant", "tile_warp_variant", "gn_impl",
+              "gn_bf16_scores", "splat_impl", "splat_impl_lr",
+              "pixel_center_offset"}
+    unknown = set(runtime) - _known
+    if unknown:
+        # a typo'd runtime switch silently running the default path is a
+        # measurement/correctness trap (r4: tile_warp_variant was dropped
+        # here and a CLI drive "exercised" a path it never ran)
+        raise ValueError(f"unknown model.runtime keys: {sorted(unknown)}; "
+                         f"known: {sorted(_known)}")
 
     max_disp = (stereo.get("initialization", {}).get("max_disp")
                 or stereo.get("max_disp") or 320)
@@ -44,10 +54,12 @@ def build_estimator(model_cfg: Dict[str, Any]) -> CODD:
         freeze_motion=bool(train_cfg.get("freeze_motion", False)),
         freeze_fusion=bool(train_cfg.get("freeze_fusion", False)),
         init_cost_variant=str(runtime.get("init_cost_variant", "auto")),
+        tile_warp_variant=str(runtime.get("tile_warp_variant", "auto")),
         gn_impl=str(runtime.get("gn_impl", "auto")),
         gn_bf16_scores=bool(runtime.get("gn_bf16_scores", False)),
         splat_impl=str(runtime.get("splat_impl", "xla_gather")),
         splat_impl_lr=str(runtime.get("splat_impl_lr", "")),
+        pixel_center_offset=float(runtime.get("pixel_center_offset", 0.0)),
     )
 
 

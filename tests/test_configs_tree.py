@@ -45,3 +45,29 @@ def test_model_configs_build():
         cfg = load_config(os.path.join(ROOT, "configs", "models", name))
         model = build_estimator(cfg["model"])
         assert model is not None
+
+
+def test_runtime_knobs_reach_model_and_typos_rejected():
+    """Every model.runtime switch must land on the CODD field of the same
+    name (r4: tile_warp_variant was silently dropped by the builder and a
+    CLI drive 'exercised' a path it never ran); unknown keys must raise."""
+    import pytest
+
+    from codd_tpu.models.builder import build_estimator
+    cfg = load_config(os.path.join(ROOT, "configs", "models", "codd.py"))
+    cfg["model"]["runtime"] = dict(
+        init_cost_variant="map", tile_warp_variant="tilewin",
+        gn_impl="windowed", gn_bf16_scores=True, splat_impl="sort",
+        splat_impl_lr="pallas", pixel_center_offset=-0.5)
+    m = build_estimator(cfg["model"])
+    assert m.init_cost_variant == "map"
+    assert m.tile_warp_variant == "tilewin"
+    assert m.gn_impl == "windowed"
+    assert m.gn_bf16_scores is True
+    assert m.splat_impl == "sort"
+    assert m.splat_impl_lr == "pallas"
+    assert m.pixel_center_offset == -0.5
+
+    cfg["model"]["runtime"] = dict(tile_warp_varaint="tilewin")  # typo
+    with pytest.raises(ValueError, match="unknown model.runtime"):
+        build_estimator(cfg["model"])

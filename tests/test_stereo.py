@@ -70,6 +70,35 @@ def test_tile_warping_matches_per_warp_oracle():
                                atol=2e-4, rtol=1e-4)
 
 
+def test_tile_warping_tilewin_differentiable():
+    """The TPU tile-window warp must carry gradients to hypotheses and
+    both feature maps (it replaces a differentiable reference op)."""
+    rng = np.random.RandomState(5)
+    B, H, W, C = 1, 8, 16, 4
+    fea_l = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    fea_r = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    hyp3 = jnp.asarray(np.stack(
+        [rng.uniform(0, 8, (B, 2, 4)), rng.uniform(-0.5, 0.5, (B, 2, 4)),
+         rng.uniform(-0.5, 0.5, (B, 2, 4))], axis=-1).astype(np.float32))
+
+    def loss(h, fl, fr):
+        return jnp.sum(tile_warping_tilewin(h, fl, fr) ** 2)
+
+    gh, gl, gr = jax.grad(loss, argnums=(0, 1, 2))(hyp3, fea_l, fea_r)
+    for g in (gh, gl, gr):
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
+
+    # grads match the exact path's on the shared (in-bound) support
+    def loss_exact(h, fl, fr):
+        return jnp.sum(tile_warping(h, fl, fr) ** 2)
+
+    eh, el, er = jax.grad(loss_exact, argnums=(0, 1, 2))(hyp3, fea_l, fea_r)
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(el), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(er), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(eh), atol=1e-3)
+
+
 def test_tile_warping_tilewin_large_image_edges():
     """tilewin at a wider image: window clamping at both edges and large
     disparities across several 128-col blocks must match the exact path."""
