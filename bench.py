@@ -105,10 +105,12 @@ def main():
 
     first = jax.jit(lambda p, l, r, k: model.apply(p, l, r, k,
                                                    method=CODD.first_step))
+    # carry donation re-validated FINITE on the current axon runtime
+    # (scripts/repro_donation.py --carry, 2026-08-19) — the old-carry
+    # buffers alias the new carry instead of being copied each frame
     step = jax.jit(lambda p, c, l, r, k: model.apply(p, c, l, r, k,
-                                                     method=CODD.step))
-    # (carry donation removed: input-output buffer aliasing corrupts
-    # results on the current axon runtime — see trainer.py note)
+                                                     method=CODD.step),
+                   donate_argnums=(1,))
 
     carry, _ = first(params, left[:, 0], right[:, 0], intr)
     carry = jax.block_until_ready(carry)

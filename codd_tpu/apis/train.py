@@ -123,8 +123,11 @@ def train_estimator(
     # microbatch gradient accumulation (schedule.accum_steps): recipe-scale
     # effective batches on one chip when the full batch does not fit
     accum = int(cfg.get("schedule", {}).get("accum_steps", 1))
+    # donate=True: the loop owns its TrainState, so the params+opt_state
+    # update aliases in place instead of copying every step (the r2
+    # donation miscompile is gone — repro_donation.py, 2026-08-19)
     step_fn = make_train_step(model, tx, loss_cfg, bf16_compute=bf16,
-                              accum_steps=accum)
+                              accum_steps=accum, donate=True)
     if bf16:
         log("bf16 compute enabled (f32 master params)")
     # mesh size must divide the per-host batch

@@ -140,10 +140,12 @@ def make_train_step(
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state), logs
 
-    # donate=False by default: donating the TrainState on the current
-    # axon/XLA:TPU stack corrupts the training step — with donation the
-    # same program reads NaN loss/grads from step 0 (donated param buffers
-    # appear to be clobbered while the remat'd backward still reads them);
-    # without donation it is finite.  Bisected 2026-08-17; costs one extra
-    # params+opt_state copy of HBM, which training activations dwarf.
+    # The round-2 donation corruption (NaN loss/grads from step 0 when the
+    # TrainState was donated) is GONE on the current axon/XLA:TPU stack —
+    # re-validated 2026-08-19 with scripts/repro_donation.py: finite
+    # losses both ways (only scheduling-level f32 rounding differs).
+    # donate stays opt-in at this layer because donation deletes the
+    # caller's input buffers (callers that keep/reuse their state — tests,
+    # notebooks — would break); the training loop, which owns its state,
+    # passes donate=True (apis/train.py).
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -26,8 +26,15 @@ bf16 = "--bf16" in sys.argv
 sizes = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 4]
 
 rng = np.random.RandomState(0)
-model = CODD(max_disp=320, iters=16)
+# init_cost_variant="map": the unrolled variant's 620 strided slices (+
+# backward) make a train-step module the remote compile helper could not
+# finish in 50 min (2026-08-19, rc=124); the lax.map form compiles in
+# minutes and is a supported config (models/codd.py runtime section).
+INIT_COST = "unrolled" if "--unrolled-init" in sys.argv else "map"
+model = CODD(max_disp=320, iters=16, init_cost_variant=INIT_COST)
 lc = LossConfig(max_disp=320)
+print(f"config: {H}x{W} T={T} iters=16 max_disp=320 "
+      f"init_cost={INIT_COST} bf16_compute={bf16}", flush=True)
 
 
 def batch_for(B):
