@@ -30,7 +30,7 @@ def build_estimator(model_cfg: Dict[str, Any]) -> CODD:
     runtime = model_cfg.get("runtime") or {}
     _known = {"init_cost_variant", "tile_warp_variant", "gn_impl",
               "gn_bf16_scores", "splat_impl", "splat_impl_lr",
-              "pixel_center_offset"}
+              "corr_impl", "pixel_center_offset"}
     unknown = set(runtime) - _known
     if unknown:
         # a typo'd runtime switch silently running the default path is a
@@ -56,6 +56,7 @@ def build_estimator(model_cfg: Dict[str, Any]) -> CODD:
         init_cost_variant=str(runtime.get("init_cost_variant", "auto")),
         tile_warp_variant=str(runtime.get("tile_warp_variant", "auto")),
         gn_impl=str(runtime.get("gn_impl", "auto")),
+        corr_impl=str(runtime.get("corr_impl", "auto")),
         gn_bf16_scores=bool(runtime.get("gn_bf16_scores", False)),
         splat_impl=str(runtime.get("splat_impl", "xla_gather")),
         splat_impl_lr=str(runtime.get("splat_impl_lr", "")),

@@ -430,9 +430,13 @@ def _resolve_warp_variant(variant: str) -> str:
     2026-08-19) but LOSES at model scale (bench 6.00 vs 6.55 FPS — the
     exact path's gather fuses better with its producers); it stays
     opt-in until it wins at the bench level."""
-    if variant != "auto":
-        return variant
-    return "exact"
+    if variant == "auto":
+        return "exact"
+    # a typo'd variant silently running the default path is the same
+    # measurement trap the builder's strict runtime-key guard closes
+    assert variant in ("exact", "tilewin"), \
+        f"bad tile_warp_variant {variant!r}; known: auto, exact, tilewin"
+    return variant
 
 
 class _CVEncoder(nn.Module):

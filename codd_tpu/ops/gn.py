@@ -212,6 +212,14 @@ def build_system(Ts, ae, target, weight, depth, intrinsics, radius=32,
             # also a perf TIE with the XLA windowed path (1.61 vs
             # 1.64 ms/iter).  Fall back until the miscompile is root-
             # caused — silent wrong numbers are never an option.
+            # Loud so an A/B labeled pallas_window can't silently
+            # measure the windowed path (ADVICE r4 #3).
+            import warnings
+            warnings.warn(
+                "gn_impl='pallas_window' requested on a compiled TPU "
+                "backend: falling back to the XLA 'windowed' aggregation "
+                "(Mosaic kernel miscompiles on chip, rel 7.8e-2 — "
+                "scripts/check_gn_pallas_tpu.py)", stacklevel=2)
             agg = _windowed_aggregate(aef.reshape(B, h, w, -1),
                                       vals.reshape(B, h, w, 27), radius,
                                       bf16_scores=bf16_scores)
