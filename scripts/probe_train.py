@@ -61,7 +61,9 @@ for B in sizes:
     tx = make_optimizer(lambda s: 1e-4, 1.0, params=params,
                         frozen_prefixes=[])
     state = create_train_state(params, tx)
-    step = make_train_step(model, tx, lc, bf16_compute=bf16)
+    # donate=True: the sweep measures the production configuration — the
+    # training loop owns & donates its TrainState (apis/train.py)
+    step = make_train_step(model, tx, lc, donate=True, bf16_compute=bf16)
     t0 = time.time()
     state, logs = step(state, batch)
     l0 = float(logs["loss"])
