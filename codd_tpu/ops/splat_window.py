@@ -1,0 +1,157 @@
+"""Windowed-reduction z-buffer splat — the global-scan-free inference
+path (VERDICT r4 task #4, pure XLA).
+
+Same semantics as ops.splat._splat_one_gather (reference pytorch3d
+rasterize + AlphaCompositor, motion.py:22-42): per pixel, fragments
+composite front-to-back in z order with weight alpha * prod(1 - alpha),
+capped at ``points_per_pixel`` (ppp); zbuf = nearest fragment's depth.
+
+Key structural fact the _gather path leaves on the table: because
+compositing is capped at ppp fragments per pixel, EVERY per-run quantity
+is local once each run *starts* with its dummy fragment:
+
+  * rank: a fragment with true in-run rank r has exactly r + 1 same-pid
+    predecessors (r reals + the leading dummy) within ppp + 1 positions
+    back iff r <= ppp; deeper fragments saturate the window and are
+    exactly the ones the ppp cap zeroes.  So rank = (window count) - 1.
+  * transmittance: sum of log1p(-alpha) over the <= ppp - 1 same-pid
+    predecessors — inside the same window (the dummy contributes
+    log1p(0) = 0).
+  * per-pixel totals: only ranks < ppp have weight, so the total is the
+    forward window sum of weighted payloads evaluated AT the dummy row.
+
+This replaces the _gather path's global cummax + 1-D segmented
+associative scan + 21-pass (M, C+2) global cumsum + boundary
+differencing with 2 * (ppp + 1) shifted masked adds (one linear pass
+each), and carries only (key, fid) through the main sort (the 4-operand
+sort shrinks ~2x).  The run-end compaction sort becomes a run-START
+(dummy-row) compaction — unchanged cost.
+
+The dummy sorts first because real fragments have z > 1e-4 (projection
+validity), whose monotone quantized-z key is strictly positive, while
+dummies carry zq = 0.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .splat import _project_fragments, _quantize_z
+
+__all__ = ["splat_one_window"]
+
+
+def _shift_back(a, m, fill):
+    """b[i] = a[i - m] (positions < m read ``fill``)."""
+    return jnp.concatenate(
+        [jnp.full((m,), fill, a.dtype), a[:-m]])
+
+
+def _shift_fwd(a, m, fill):
+    """b[i] = a[i + m] (positions >= M - m read ``fill``)."""
+    return jnp.concatenate(
+        [a[m:], jnp.full((m,), fill, a.dtype)])
+
+
+def splat_one_window(points, features, intrinsics, H, W, radius_px,
+                     points_per_pixel, pixel_center_offset):
+    """points: (N, 3), features: (N, C) -> ((H, W, C), (H, W)).  Inference
+    variant (like _splat_one_gather, its VJP would contain serializing
+    scatters — training uses _splat_one_sort)."""
+    out_dtype = features.dtype
+    points = points.astype(jnp.float32)
+    features = features.astype(jnp.float32)
+    intrinsics = intrinsics.astype(jnp.float32)
+    N, C = features.shape
+    npix = H * W
+    ppp = int(points_per_pixel)
+    WIN = ppp + 1
+    f32 = jnp.float32
+
+    pid, _, _, _, Z = _project_fragments(
+        points, features, intrinsics, H, W, radius_px, pixel_center_offset,
+        npix, materialize_features=False)
+    K = pid.shape[0] // N
+
+    z_bits = 32 - int(npix + 1).bit_length()
+    assert z_bits >= 8, "image too large for packed splat keys"
+    zq = _quantize_z(Z, z_bits)  # strictly > 0: valid z > 1e-4
+    key = (pid.astype(jnp.uint32) << z_bits) | jnp.broadcast_to(
+        zq[None, :], (K, N)).reshape(-1)
+
+    # dummy fragment per pixel with zq = 0: sorts FIRST in its run.  Its
+    # source row is the sentinel packed row N (far-away projection ->
+    # recomputed alpha = 0 -> contributes nothing, counts as not-real).
+    key = jnp.concatenate([
+        key, jnp.arange(npix, dtype=jnp.uint32) << z_bits])
+    fid = jnp.concatenate([
+        jnp.broadcast_to(jnp.arange(N, dtype=jnp.uint32)[None, :],
+                         (K, N)).reshape(-1),
+        jnp.full((npix,), N, jnp.uint32)])
+
+    key_s, fid_s = jax.lax.sort((key, fid), dimension=0, num_keys=1,
+                                is_stable=False)
+    M = key_s.shape[0]
+    pid_s = (key_s >> z_bits).astype(jnp.int32)
+
+    # packed per-point row gather: [features..., x, y, z]; sentinel row N
+    # projects at 1e9 so its recomputed alpha is exactly 0
+    fx_, fy_, cx_, cy_ = intrinsics
+    zv = jnp.where(Z > 1e-4, Z, 1.0)
+    px_pt = fx_ * (points[:, 0] / zv) + cx_ + pixel_center_offset
+    py_pt = fy_ * (points[:, 1] / zv) + cy_ + pixel_center_offset
+    packed = jnp.concatenate(
+        [features, px_pt[:, None], py_pt[:, None], Z[:, None]], axis=1)
+    packed = jnp.concatenate(
+        [packed, jnp.full((1, C + 3), 1e9, f32)], axis=0)
+    rows = jnp.take(packed, fid_s.astype(jnp.int32), axis=0)  # (M, C+3)
+
+    lx = (pid_s % W).astype(f32)
+    ly = (pid_s // W).astype(f32)
+    d2 = (lx - rows[:, C]) ** 2 + (ly - rows[:, C + 1]) ** 2
+    alpha_s = jnp.clip(1.0 - d2 / (radius_px * radius_px), 0.0, 1.0 - 1e-4)
+    real = (pid_s < npix) & (alpha_s > 0)
+    alpha_s = jnp.where(real, alpha_s, 0.0)
+    z_s = rows[:, C + 2]
+    la = jnp.log1p(-alpha_s)  # 0 for dummies/culled
+
+    # rank + transmittance from the backward window (see module docstring)
+    logT = jnp.zeros((M,), f32)
+    cnt_w = jnp.zeros((M,), f32)
+    for m in range(1, WIN + 1):
+        match = _shift_back(pid_s, m, -1) == pid_s
+        logT = logT + jnp.where(match, _shift_back(la, m, 0.0), 0.0)
+        cnt_w = cnt_w + match.astype(f32)
+    rank = cnt_w - 1.0  # the leading dummy is always one of the matches
+    wgt = jnp.where(real & (rank < ppp),
+                    alpha_s * jnp.exp(logT), 0.0).astype(f32)
+
+    zhead = jnp.where(real & (rank == 0.0), z_s, 0.0)
+    cchans = ([rows[:, c] * wgt for c in range(C)]
+              + [zhead, real.astype(f32)])
+
+    # per-pixel totals: forward window sum, evaluated at the dummy rows
+    matches = [(_shift_fwd(pid_s, m, -1) == pid_s) for m in range(1, WIN + 1)]
+    totals = []
+    for ch in cchans:
+        s = jnp.zeros((M,), f32)
+        for m in range(1, WIN + 1):
+            s = s + jnp.where(matches[m - 1], _shift_fwd(ch, m, 0.0), 0.0)
+        totals.append(s)
+
+    # compaction: each pixel owns exactly one dummy (zq == 0) row; a
+    # 2-operand flat sort brings them into dense pixel order
+    zmask = jnp.uint32((1 << z_bits) - 1)
+    is_dummy = (key_s & zmask) == 0
+    key2 = jnp.where(is_dummy, pid_s, npix)
+    _, pos_d = jax.lax.sort(
+        (key2, jnp.arange(M, dtype=jnp.uint32)),
+        dimension=0, num_keys=1, is_stable=False)
+    idx = pos_d[:npix].astype(jnp.int32)
+    S = jnp.stack(totals, axis=-1)          # (M, C+2)
+    S_px = jnp.take(S, idx, axis=0)         # (npix, C+2) pixel order
+
+    out = S_px[:, :C].astype(out_dtype)
+    zbuf = jnp.where(S_px[:, C + 1] > 0, S_px[:, C], 0.0).astype(out_dtype)
+    return out.reshape(H, W, C), zbuf.reshape(H, W)
