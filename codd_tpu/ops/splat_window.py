@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 from .splat import _project_fragments, _quantize_z
 
-__all__ = ["splat_one_window"]
+__all__ = ["splat_one_window", "splat_one_sort_window"]
 
 
 def _shift_back(a, m, fill):
@@ -151,6 +151,90 @@ def splat_one_window(points, features, intrinsics, H, W, radius_px,
     idx = pos_d[:npix].astype(jnp.int32)
     S = jnp.stack(totals, axis=-1)          # (M, C+2)
     S_px = jnp.take(S, idx, axis=0)         # (npix, C+2) pixel order
+
+    out = S_px[:, :C].astype(out_dtype)
+    zbuf = jnp.where(S_px[:, C + 1] > 0, S_px[:, C], 0.0).astype(out_dtype)
+    return out.reshape(H, W, C), zbuf.reshape(H, W)
+
+
+def splat_one_sort_window(points, features, intrinsics, H, W, radius_px,
+                          points_per_pixel, pixel_center_offset):
+    """Differentiable windowed variant (the TRAINING path): like
+    ops.splat._splat_one_sort, feature channels ride the sort as value
+    operands so the backward pass stays scatter-free (a post-sort row
+    gather's VJP would emit serializing (M,)-row scatter-adds); the
+    global segmented scan + (M, C+2) cumsum + boundary differencing are
+    replaced by the same shifted-window reduction as splat_one_window
+    (whose VJP is just mirrored shifts).  Also shrinks the train-step
+    HLO the r4 compile-helper timed out on (fewer scan stages)."""
+    out_dtype = features.dtype
+    points = points.astype(jnp.float32)
+    features = features.astype(jnp.float32)
+    intrinsics = intrinsics.astype(jnp.float32)
+    N, C = features.shape
+    npix = H * W
+    ppp = int(points_per_pixel)
+    WIN = ppp + 1
+    f32 = jnp.float32
+
+    pid, alpha, zfrag, ffrag, Z = _project_fragments(
+        points, features, intrinsics, H, W, radius_px, pixel_center_offset,
+        npix)
+    K = pid.shape[0] // N
+
+    z_bits = 32 - int(npix + 1).bit_length()
+    assert z_bits >= 8, "image too large for packed splat keys"
+    zq = _quantize_z(Z, z_bits)  # strictly > 0 for valid z
+    key = (pid.astype(jnp.uint32) << z_bits) | jnp.broadcast_to(
+        zq[None, :], (K, N)).reshape(-1)
+
+    # dummy per pixel with zq = 0: sorts FIRST in its run
+    key = jnp.concatenate([
+        key, jnp.arange(npix, dtype=jnp.uint32) << z_bits])
+    alpha = jnp.concatenate([alpha, jnp.zeros((npix,), f32)])
+    zfrag = jnp.concatenate([zfrag, jnp.zeros((npix,), f32)])
+    ops = [key, alpha, zfrag] + [
+        jnp.concatenate([f, jnp.zeros((npix,), f32)]) for f in ffrag]
+
+    sorted_ops = jax.lax.sort(tuple(ops), dimension=0, num_keys=1,
+                              is_stable=False)
+    key_s, alpha_s, z_s = sorted_ops[0], sorted_ops[1], sorted_ops[2]
+    feat_s = list(sorted_ops[3:])
+    M = key_s.shape[0]
+    pid_s = (key_s >> z_bits).astype(jnp.int32)
+    real = (pid_s < npix) & (alpha_s > 0)
+    la = jnp.log1p(-alpha_s)
+
+    logT = jnp.zeros((M,), f32)
+    cnt_w = jnp.zeros((M,), f32)
+    for m in range(1, WIN + 1):
+        match = _shift_back(pid_s, m, -1) == pid_s
+        logT = logT + jnp.where(match, _shift_back(la, m, 0.0), 0.0)
+        cnt_w = cnt_w + match.astype(f32)
+    rank = cnt_w - 1.0
+    wgt = jnp.where(real & (rank < ppp),
+                    alpha_s * jnp.exp(logT), 0.0).astype(f32)
+
+    zhead = jnp.where(real & (rank == 0.0), z_s, 0.0)
+    cchans = [f * wgt for f in feat_s] + [zhead, real.astype(f32)]
+
+    matches = [(_shift_fwd(pid_s, m, -1) == pid_s)
+               for m in range(1, WIN + 1)]
+    totals = []
+    for ch in cchans:
+        s = jnp.zeros((M,), f32)
+        for m in range(1, WIN + 1):
+            s = s + jnp.where(matches[m - 1], _shift_fwd(ch, m, 0.0), 0.0)
+        totals.append(s)
+
+    zmask = jnp.uint32((1 << z_bits) - 1)
+    is_dummy = (key_s & zmask) == 0
+    key2 = jnp.where(is_dummy, pid_s, npix)
+    # compaction carries the totals through the sort (differentiable:
+    # sort VJP is a permutation gather)
+    sorted2 = jax.lax.sort((key2,) + tuple(totals), dimension=0,
+                           num_keys=1, is_stable=False)
+    S_px = jnp.stack(sorted2[1:], axis=-1)[:npix]   # (npix, C+2)
 
     out = S_px[:, :C].astype(out_dtype)
     zbuf = jnp.where(S_px[:, C + 1] > 0, S_px[:, C], 0.0).astype(out_dtype)

@@ -75,3 +75,32 @@ def test_window_splat_halfpixel_offset():
     assert np.abs(np.asarray(got[0]) - np.asarray(ref[0])).max() < 1e-5
     # zbuf: quantized-z tie-break tolerance (see _check)
     assert np.abs(np.asarray(got[1]) - np.asarray(ref[1])).max() < 1e-3
+
+
+def test_window_sort_splat_matches_training_oracle():
+    import jax
+    from codd_tpu.ops.splat import _splat_one_sort
+    from codd_tpu.ops.splat_window import splat_one_sort_window
+
+    pts, feats, intr = _mk(1024, 6, 24, 32, 1)
+    ref = _splat_one_sort(pts, feats, intr, 24, 32, 1.0, 8, 0.0)
+    got = splat_one_sort_window(pts, feats, intr, 24, 32, 1.0, 8, 0.0)
+    assert np.abs(np.asarray(got[0]) - np.asarray(ref[0])).max() < 1e-5
+    assert np.abs(np.asarray(got[1]) - np.asarray(ref[1])).max() < 1e-3
+
+    # differentiability: grads flow to points and features, finite, and
+    # match the incumbent training path
+    def loss_ref(p, f):
+        o, z = _splat_one_sort(p, f, intr, 24, 32, 1.0, 8, 0.0)
+        return jnp.sum(o * o) + jnp.sum(z)
+
+    def loss_win(p, f):
+        o, z = splat_one_sort_window(p, f, intr, 24, 32, 1.0, 8, 0.0)
+        return jnp.sum(o * o) + jnp.sum(z)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1))(pts, feats)
+    gw = jax.grad(loss_win, argnums=(0, 1))(pts, feats)
+    for a, b in zip(gr, gw):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 2e-3
