@@ -434,8 +434,9 @@ def _resolve_warp_variant(variant: str) -> str:
         return "exact"
     # a typo'd variant silently running the default path is the same
     # measurement trap the builder's strict runtime-key guard closes
-    assert variant in ("exact", "tilewin"), \
-        f"bad tile_warp_variant {variant!r}; known: auto, exact, tilewin"
+    assert variant in ("exact", "tilewin", "pallas"), \
+        f"bad tile_warp_variant {variant!r}; known: auto, exact, tilewin, " \
+        "pallas"
     return variant
 
 
@@ -446,8 +447,15 @@ class _CVEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, hyp3, fea_l, fea_r, fea_mag):
-        if _resolve_warp_variant(self.warp_variant) == "tilewin":
+        variant = _resolve_warp_variant(self.warp_variant)
+        if variant == "tilewin":
             cv = tile_warping_tilewin(hyp3, fea_l, fea_r)
+        elif variant == "pallas":
+            # fused VMEM tile-warp kernel (forward-only — inference
+            # opt-in, on-chip gate scripts/check_tile_warp_tpu.py)
+            from ...ops.pallas.tile_warp import tile_warp_cost
+            cv = tile_warp_cost(hyp3, fea_l, fea_r,
+                                interpret=jax.default_backend() == "cpu")
         else:
             cv = tile_warping(hyp3, fea_l, fea_r)
         return lrelu(Conv(16, 1, name="decrease")(

@@ -137,7 +137,7 @@ def resolve_impl(impl, radius, w):
                    and w > 3 * _GN_BLOCK)
     if impl == "auto":
         return "windowed" if windowed_ok else "dense"
-    if impl in ("windowed", "pallas_window") and not windowed_ok:
+    if impl in ("windowed", "pallas_window", "fused") and not windowed_ok:
         return "dense"
     return impl
 
@@ -165,36 +165,8 @@ def build_system(Ts, ae, target, weight, depth, intrinsics, radius=32,
     n = h * w
     f32 = jnp.float32
 
-    X = inv_project(depth, intrinsics).astype(f32)
-    Y = se3.act(Ts.astype(f32), X)
-    proj = project(Y, intrinsics)
-    r = target.astype(f32) - proj  # (B,h,w,3)
-
-    fx = intrinsics[:, 0, None, None].astype(f32)
-    fy = intrinsics[:, 1, None, None].astype(f32)
-    Yx, Yy, Yz = jnp.moveaxis(Y, -1, 0)
-    Zinv = 1.0 / (Yz + 1e-5)
-    Z2inv = Zinv * Zinv
-    zero = jnp.zeros_like(Zinv)
-    # d pi / d Y  (3x3)
-    Jpi = jnp.stack(
-        [
-            jnp.stack([fx * Zinv, zero, -fx * Yx * Z2inv], -1),
-            jnp.stack([zero, fy * Zinv, -fy * Yy * Z2inv], -1),
-            jnp.stack([zero, zero, -Z2inv], -1),
-        ],
-        axis=-2,
-    )  # (B,h,w,3,3)
-    # d Y / d xi = [I | -[Y]x]  for left perturbation exp(xi) * T
-    J = jnp.concatenate([Jpi, -jnp.einsum("...ij,...jk->...ik", Jpi, _skew(Y))], axis=-1)  # (B,h,w,3,6)
-
-    Wd = weight.astype(f32)
-    JW = J * Wd[..., None]  # (B,h,w,3,6), rows scaled by weight
-    M = jnp.einsum("...ki,...kj->...ij", J, JW)  # (B,h,w,6,6) = J^T W J
-    v = jnp.einsum("...ki,...k->...i", J, Wd * r)  # (B,h,w,6)
-
-    # value field: 21 unique H entries + 6 b entries
-    vals = jnp.concatenate([_sym_pack(M), v], axis=-1).reshape(B, n, 27)
+    vals = _build_vals(Ts, target, weight, depth, intrinsics
+                       ).reshape(B, n, 27)
 
     # attention scores over the (windowed) pixel graph — MXU matmul
     aef = ae.astype(f32).reshape(B, n, -1)
@@ -249,6 +221,45 @@ def build_system(Ts, ae, target, weight, depth, intrinsics, radius=32,
     Hmat = _sym_unpack(agg[..., :21])
     bvec = agg[..., 21:]
     return Hmat, bvec
+
+
+def _build_vals(Ts, target, weight, depth, intrinsics):
+    """The per-pixel normal-equation value field: 21 packed J^T W J
+    entries + 6 J^T W r entries, (B, h, w, 27) f32 — the aggregation
+    operand shared by every build_system impl and the fused Pallas
+    solve (ops/pallas/gn_fused.py)."""
+    f32 = jnp.float32
+
+    X = inv_project(depth, intrinsics).astype(f32)
+    Y = se3.act(Ts.astype(f32), X)
+    proj = project(Y, intrinsics)
+    r = target.astype(f32) - proj  # (B,h,w,3)
+
+    fx = intrinsics[:, 0, None, None].astype(f32)
+    fy = intrinsics[:, 1, None, None].astype(f32)
+    Yx, Yy, Yz = jnp.moveaxis(Y, -1, 0)
+    Zinv = 1.0 / (Yz + 1e-5)
+    Z2inv = Zinv * Zinv
+    zero = jnp.zeros_like(Zinv)
+    # d pi / d Y  (3x3)
+    Jpi = jnp.stack(
+        [
+            jnp.stack([fx * Zinv, zero, -fx * Yx * Z2inv], -1),
+            jnp.stack([zero, fy * Zinv, -fy * Yy * Z2inv], -1),
+            jnp.stack([zero, zero, -Z2inv], -1),
+        ],
+        axis=-2,
+    )  # (B,h,w,3,3)
+    # d Y / d xi = [I | -[Y]x]  for left perturbation exp(xi) * T
+    J = jnp.concatenate([Jpi, -jnp.einsum("...ij,...jk->...ik", Jpi, _skew(Y))], axis=-1)  # (B,h,w,3,6)
+
+    Wd = weight.astype(f32)
+    JW = J * Wd[..., None]  # (B,h,w,3,6), rows scaled by weight
+    M = jnp.einsum("...ki,...kj->...ij", J, JW)  # (B,h,w,6,6) = J^T W J
+    v = jnp.einsum("...ki,...k->...i", J, Wd * r)  # (B,h,w,6)
+
+    # value field: 21 unique H entries + 6 b entries
+    return jnp.concatenate([_sym_pack(M), v], axis=-1)
 
 
 _GN_BLOCK = 32  # column block size of the windowed aggregation
@@ -310,9 +321,21 @@ def gn_step(Ts, ae, target, weight, depth, intrinsics, radius=32, lm=1e-4,
     Mirrors reference se3_field.step_inplace (se3_field.py:150-170):
     ae is pre-scaled by 1/8, damping is ``H + (lm*H + ep) * I``, update is
     ``exp(dx) * Ts``.  ``impl``/``bf16_scores`` select the aggregation
-    path (see build_system).
+    path (see build_system).  ``impl="fused"`` routes aggregation +
+    damping + solve through the single Pallas kernel
+    (ops/pallas/gn_fused.py) — forward-only (no VJP): inference opt-in,
+    gated on-chip by scripts/check_gn_fused_tpu.py.
     """
     ae = ae / 8.0
+    if resolve_impl(impl, radius, Ts.shape[2]) == "fused":
+        from .pallas.gn_fused import gn_fused_solve
+        vals = _build_vals(Ts, target, weight, depth, intrinsics)
+        interpret = jax.devices()[0].platform in ("cpu", "gpu", "cuda",
+                                                  "rocm")
+        dx = gn_fused_solve(ae.astype(jnp.float32), vals, radius=radius,
+                            lm=lm, ep=ep, bf16_scores=bf16_scores,
+                            interpret=interpret)
+        return se3.mul(se3.exp(dx.astype(Ts.dtype)), Ts)
     H, b = build_system(Ts, ae, target, weight, depth, intrinsics, radius,
                         impl=impl, bf16_scores=bf16_scores)
     diag = jnp.diagonal(H, axis1=-2, axis2=-1)

@@ -404,8 +404,10 @@ def splat_render(points, features, intrinsics, H: int, W: int,
       impl: "xla" (differentiable: payload rides the sorts; scatter-free
         backward — the TRAINING path), "xla_gather" (fewest sorted bytes:
         2-pass segmented scans + post-sort row gathers; fastest forward —
-        the inference path), or "pallas" (fused tile compositor,
-        forward-only).
+        the inference path), "pallas" (fused tile compositor,
+        forward-only), "xla_window" (scan-free shifted-window reduction,
+        forward path) or "xla_sort_window" (differentiable windowed
+        variant) — see ops/splat_window.py.
       batch_mode: "unroll" compiles one flat-sort pipeline per batch entry
         (flat 1-D sorts are ~9x faster than the batched 2-D sorts a vmap
         would produce on TPU — the runtime-optimal choice); "vmap"
@@ -419,9 +421,15 @@ def splat_render(points, features, intrinsics, H: int, W: int,
       (B, H, W, C) composited features, (B, H, W) nearest-surface depth
       (0 where nothing landed).
     """
-    one = {"pallas": _splat_one_pallas,
-           "xla_gather": _splat_one_gather,
-           "xla": _splat_one_sort}[impl]
+    if impl in ("xla_window", "xla_sort_window"):
+        # deferred: splat_window imports from this module
+        from .splat_window import splat_one_sort_window, splat_one_window
+        one = {"xla_window": splat_one_window,
+               "xla_sort_window": splat_one_sort_window}[impl]
+    else:
+        one = {"pallas": _splat_one_pallas,
+               "xla_gather": _splat_one_gather,
+               "xla": _splat_one_sort}[impl]
     B = points.shape[0]
     if batch_mode == "auto":
         batch_mode = "vmap" if jax.default_backend() == "cpu" else "unroll"
