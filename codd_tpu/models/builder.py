@@ -30,7 +30,7 @@ def build_estimator(model_cfg: Dict[str, Any]) -> CODD:
     runtime = model_cfg.get("runtime") or {}
     _known = {"init_cost_variant", "tile_warp_variant", "gn_impl",
               "gn_bf16_scores", "splat_impl", "splat_impl_lr",
-              "corr_impl", "pixel_center_offset"}
+              "splat_impl_train", "corr_impl", "pixel_center_offset"}
     unknown = set(runtime) - _known
     if unknown:
         # a typo'd runtime switch silently running the default path is a
@@ -60,6 +60,7 @@ def build_estimator(model_cfg: Dict[str, Any]) -> CODD:
         gn_bf16_scores=bool(runtime.get("gn_bf16_scores", False)),
         splat_impl=str(runtime.get("splat_impl", "xla_gather")),
         splat_impl_lr=str(runtime.get("splat_impl_lr", "")),
+        splat_impl_train=str(runtime.get("splat_impl_train", "xla")),
         pixel_center_offset=float(runtime.get("pixel_center_offset", 0.0)),
     )
 

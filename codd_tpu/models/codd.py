@@ -84,6 +84,7 @@ class CODD(nn.Module):
     corr_impl: str = "auto"           # corr pyramid layout (ops.corr)
     splat_impl: str = "xla_gather"    # inference splat backend (ops.splat)
     splat_impl_lr: str = ""           # quarter-res override ("" = same)
+    splat_impl_train: str = "xla"     # differentiable training splat
     pixel_center_offset: float = 0.0  # -0.5 = pytorch3d splat convention
 
     @property
@@ -103,6 +104,7 @@ class CODD(nn.Module):
                                  corr_impl=self.corr_impl,
                                  splat_impl=self.splat_impl,
                                  splat_impl_lr=self.splat_impl_lr,
+                                 splat_impl_train=self.splat_impl_train,
                                  pixel_center_offset=self.pixel_center_offset,
                                  name="motion")
         if self.has_fusion_net:

@@ -52,6 +52,11 @@ class Motion(nn.Module):
     # splat_impl).
     splat_impl: str = "xla_gather"
     splat_impl_lr: str = ""
+    # training splat backend — must be differentiable: "xla"
+    # (payload-through-sort + segmented scans) or "xla_sort_window"
+    # (shifted-window reduction: fewer scan stages, smaller train-step
+    # HLO — built for the compile-helper timeout, BENCH_NOTES r4).
+    splat_impl_train: str = "xla"
     # The reference splats the previous *image* too (motion.py:185), but
     # nothing downstream ever reads it (fusion.py:366 unpacks and drops
     # it), so by default we skip those 3 full-res channels.  Set True for
@@ -105,7 +110,7 @@ class Motion(nn.Module):
         X1 = inv_project(depth_prev, intrinsics)
         X2 = se3.act(Ts, X1)
         nch = to_proj.shape[-1]
-        impl = "xla" if train_mode else self.splat_impl
+        impl = self.splat_impl_train if train_mode else self.splat_impl
         warped, zbuf = splat_render(
             X2.reshape(B, -1, 3), to_proj.reshape(B, -1, nch), intrinsics,
             H=H, W=W, radius_px=1.0, impl=impl,
@@ -130,8 +135,8 @@ class Motion(nn.Module):
         X1l = inv_project(depth_lr, intr_lr)
         X2l = se3.act(Ts_lr, X1l)
         C = memory_feat.shape[-1]
-        impl_lr = "xla" if train_mode else (self.splat_impl_lr
-                                            or self.splat_impl)
+        impl_lr = self.splat_impl_train if train_mode else (
+            self.splat_impl_lr or self.splat_impl)
         feat_warp, _ = splat_render(
             X2l.reshape(B, -1, 3), memory_feat.reshape(B, -1, C), intr_lr,
             H=H // s, W=W // s, radius_px=2.0, impl=impl_lr,

@@ -31,10 +31,17 @@ rng = np.random.RandomState(0)
 # finish in 50 min (2026-08-19, rc=124); the lax.map form compiles in
 # minutes and is a supported config (models/codd.py runtime section).
 INIT_COST = "unrolled" if "--unrolled-init" in sys.argv else "map"
-model = CODD(max_disp=320, iters=16, init_cost_variant=INIT_COST)
+# --window-splat: the shifted-window differentiable splat
+# (ops/splat_window.splat_one_sort_window) replaces the segmented-scan +
+# 21-pass-cumsum train path — much smaller train-step HLO, the prime
+# suspect in the 50-min compile-helper timeouts (r4 queue D, r5 queue A)
+SPLAT_TRAIN = ("xla_sort_window" if "--window-splat" in sys.argv else "xla")
+model = CODD(max_disp=320, iters=16, init_cost_variant=INIT_COST,
+             splat_impl_train=SPLAT_TRAIN)
 lc = LossConfig(max_disp=320)
 print(f"config: {H}x{W} T={T} iters=16 max_disp=320 "
-      f"init_cost={INIT_COST} bf16_compute={bf16}", flush=True)
+      f"init_cost={INIT_COST} splat_train={SPLAT_TRAIN} "
+      f"bf16_compute={bf16}", flush=True)
 
 
 def batch_for(B):
