@@ -41,7 +41,10 @@ timeout 3600 python scripts/probe_train.py 1 8 --bf16 \
 echo "train_bf16_c rc=$?"
 
 echo "== 5. bf16 inference accuracy (VERDICT #4, r2 debt) =="
-timeout 3600 python scripts/validate_bf16.py > $L/validate_bf16.log 2>&1
+# 250 steps: loss plateaus ~step 200 (queue-A log), and 400 steps +
+# the 320x576 cascade compile blew the 3000 s budget on 2026-08-19.
+timeout 5400 python scripts/validate_bf16.py --train-steps 250 \
+    > $L/validate_bf16.log 2>&1
 echo "validate_bf16 rc=$?"
 
 echo "QUEUE C DONE"
