@@ -34,11 +34,20 @@ inverts its risky choices):
     makes edge blocks uniform; padded keys carry vals = 0 so they
     aggregate to exactly 0 whatever their score (the same trick as
     ops.gn._windowed_aggregate).
-  * **Squared norms fold into augmented channels computed OUTSIDE the
-    kernel** by XLA: q_aug = [2 ae; |ae|^2; 1], k_aug = [ae; -1;
-    -|ae|^2], so logits = q_aug . k_aug needs no in-kernel (n, 1)
-    transposes.  The |dy|/|dx| window mask comes from broadcasted_iota
-    + div/mod by the static h (both proven to lower in the r4 kernel).
+  * **Squared norms are subtracted OUTSIDE the score matmul**, exactly
+    like the oracle.  The first cut folded them into augmented channels
+    (q_aug = [2 ae; |ae|^2; 1]) and FAILED the on-chip gate at rel
+    2.0e-2 (2026-08-19): the MXU's default-precision f32 dot rounds
+    products to bf16 mantissas, and the large-magnitude |ae|^2 * 1
+    terms lose ~|ae|^2 * 2^-8 ~= 0.016 absolute in the cancellation —
+    while the oracle's raw-ae einsum only rounds small q_c*k_c
+    products.  Now the kernel dots raw ae chunks at DEFAULT precision
+    (bit-matching the oracle's einsum rounding), computes the k-norm
+    row on the VPU in f32, and gets the q-norm COLUMN — (nq, 1),
+    which Mosaic cannot transpose from a row — as a ones-column matmul
+    at HIGHEST precision (K=C, N=1: cost is noise).  The |dy|/|dx|
+    window mask comes from broadcasted_iota + div/mod by the static h
+    (both proven to lower in the r4 kernel).
 
 On-device equality gate: scripts/check_gn_fused_tpu.py (pytest-collected
 via tests/test_gn_fused.py on TPU) compares against the ops.gn windowed
@@ -75,13 +84,15 @@ def _tri_index():
 _TRI = _tri_index()
 
 
-def _kernel(qaug_ref, kaug_ref, vals_ref, out_ref, *, h, w, radius, bs,
+def _kernel(ae_ref, vals_ref, out_ref, *, h, w, radius, bs,
             lm, ep, bf16_scores, qsub, kchunk):
-    """qaug/kaug: (C+2, n_pad), vals: (27, n_pad), out: (6, n_pad) f32.
+    """ae: (C, n_pad), vals: (27, n_pad), out: (6, n_pad) f32.
     n_pad = (w + 2*bs) * h, column-major (x major, y minor); one program."""
     f32 = jnp.float32
     nb = w // bs
     blk = bs * h
+    C = ae_ref.shape[0]
+    ones_col = jnp.ones((C, 1), f32)
 
     out_ref[...] = jnp.zeros_like(out_ref)
 
@@ -90,7 +101,13 @@ def _kernel(qaug_ref, kaug_ref, vals_ref, out_ref, *, h, w, radius, bs,
         k0 = qb * blk                       # key window: 3 blocks from k0
         for qs in range(blk // qsub):
             q0 = (qb + 1) * blk + qs * qsub
-            qa = qaug_ref[:, q0:q0 + qsub]  # (C+2, nq)
+            qa = ae_ref[:, q0:q0 + qsub]    # (C, nq)
+            # q-norm as a COLUMN (nq, 1): ones-column matmul at HIGHEST
+            # precision (a VPU-exact row can't be transposed in Mosaic)
+            qsqc = jax.lax.dot_general(
+                qa * qa, ones_col, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)   # (nq, 1)
             # query pixel coords: lane i -> flat q0+i -> (x, y)
             qi = jax.lax.broadcasted_iota(jnp.int32, (qsub, 1), 0) + q0
             qx = qi // h
@@ -99,11 +116,14 @@ def _kernel(qaug_ref, kaug_ref, vals_ref, out_ref, *, h, w, radius, bs,
             acc = jnp.zeros((27, qsub), f32)
             for kc in range(3 * blk // kchunk):
                 c0 = k0 + kc * kchunk
-                ka = kaug_ref[:, c0:c0 + kchunk]   # (C+2, nk)
-                # logits = -(||q - k||^2) via the augmented bilinear fold
-                logits = jax.lax.dot_general(
+                ka = ae_ref[:, c0:c0 + kchunk]     # (C, nk)
+                ksq = jnp.sum(ka * ka, axis=0, keepdims=True)  # (1, nk)
+                # logits = -||q - k||^2 = 2 q.k - |q|^2 - |k|^2; the raw
+                # dot runs at DEFAULT precision like the oracle's einsum
+                raw = jax.lax.dot_general(
                     qa, ka, (((0,), (0,)), ((), ())),
                     preferred_element_type=f32)    # (nq, nk)
+                logits = 2.0 * raw - qsqc - ksq
                 ki = jax.lax.broadcasted_iota(
                     jnp.int32, (1, kchunk), 1) + c0
                 kx = ki // h
@@ -184,28 +204,24 @@ def gn_fused_solve(ae, vals, radius: int = 32, lm: float = 1e-4,
 
     ae_cn = prep(ae)                               # (B, C, n_pad)
     vals_cn = prep(vals)
-    sq = jnp.sum(ae_cn * ae_cn, axis=1, keepdims=True)   # (B, 1, n_pad)
-    ones = jnp.ones_like(sq)
-    qaug = jnp.concatenate([2.0 * ae_cn, sq, ones], axis=1)
-    kaug = jnp.concatenate([ae_cn, -ones, -sq], axis=1)
 
     ch = _chunk_of(blk)
     kernel = functools.partial(
         _kernel, h=h, w=w, radius=radius, bs=bs, lm=lm, ep=ep,
         bf16_scores=bf16_scores, qsub=ch, kchunk=ch)
 
-    def one(qaug_b, kaug_b, vals_b):
+    def one(ae_b, vals_b):
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((6, n_pad), f32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(qaug_b, kaug_b, vals_b)
+        )(ae_b, vals_b)
         dx = out.reshape(6, w + 2 * bs, h)[:, bs:bs + w]
         return dx.transpose(2, 1, 0)               # (h, w, 6)
 
-    return jax.vmap(one)(qaug, kaug, vals_cn)
+    return jax.vmap(one)(ae_cn, vals_cn)
 
 
 def gn_fused_solve_reference(ae, vals, radius: int = 32, lm: float = 1e-4,
