@@ -410,6 +410,91 @@ def tile_warping_tilewin(hyp3, fea_l, fea_r, contraction: str = "reduce",
     return cost.astype(fea_l.dtype)
 
 
+def tile_warping_grouped(hyp3, fea_l, fea_r, bw: int = 12):
+    """`tile_warping` with row-anchored GROUP gathers (4 pixels/descriptor).
+
+    The exact path above spends one gather descriptor per output pixel
+    (~25 ns each -> ~12 ms/call at full res, probe_prop_stages
+    2026-08-19); `tile_warping_tilewin` cut descriptors 16x but lost at
+    model scale (6.00 vs 6.55 FPS) — its tile-space transposes of f/x0
+    break XLA's producer fusion.  This variant is the middle point
+    sketched in BENCH_NOTES (queue B3 verdict): the FOUR pixels of one
+    tile ROW share a slant-plane hypothesis, so their sample positions
+    are p_j = p_0 + j*(1-dx) (linear in j) and their bilinear taps live
+    in one narrow column band.  One (1, bw, C) block gather per row
+    group (4x fewer descriptors, 768-byte chunks at C=16 f32) + an
+    in-band two-tap compare-select (pure VPU, fuses) replaces the
+    per-pixel gather.  Crucially all per-pixel tensors stay in the
+    row-major (B, H, W) layout of the exact path — no tile-space
+    transposes.
+
+    Exactness contract: identical to `tile_warping` whenever
+    ``3 * |1 - dx| <= bw - 5`` (bw=12 -> |1-dx| <= 2.33, i.e. dx in
+    [-1.33, 3.33]) — independent of dy (the row anchor is computed from
+    the actual row positions, so the dy term cancels) and far beyond
+    trained slant magnitudes (|dx| < ~1).  Out-of-contract taps read
+    zero, matching the zeros-padding convention.  Regression-tested
+    against `tile_warping` (tests/test_stereo.py)."""
+    B, H, W, C = fea_r.shape
+    assert W % 4 == 0, W
+    wt = W // 4
+    d, dx, dy = hyp3[..., 0], hyp3[..., 1], hyp3[..., 2]
+    local_d = to_plane(d, dx, dy, size=4)  # (B, H, W)
+    x, _ = meshgrid_xy(H, W, fea_r.dtype)
+    p = x[None] - local_d
+    x0 = jnp.floor(p)
+    f = (p - x0).astype(fea_r.dtype)[..., None]  # (B, H, W, 1)
+
+    # row-group anchor: p is linear in the within-row pixel index j, so
+    # min_j p_j is at an endpoint; the band start is the group's true
+    # leftmost tap (floor(pmin) - 1), dy-free by construction
+    P = bw  # zero pad: clamped bands + out-of-image taps read zeros
+    frp = jnp.pad(fea_r, ((0, 0), (0, 0), (P, P), (0, 0)))
+    pg = p.reshape(B, H, wt, 4)
+    pmin = jnp.minimum(pg[..., 0], pg[..., 3])
+    s = jnp.floor(pmin).astype(jnp.int32) - 1 + P  # (B, H, wt), padded coords
+    s = jnp.clip(s, 0, W + 2 * P - bw)
+
+    ys = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None, :, None],
+                          (B, H, wt))
+    idx = jnp.stack([ys, s], axis=-1).reshape(B, -1, 2)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(0,),
+        start_index_map=(0, 1))
+
+    def gather_one(op, ind):
+        return jax.lax.gather(
+            op, ind, dnums, slice_sizes=(1, bw, C),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+    band = jax.vmap(gather_one)(frp, idx).reshape(B, H, wt, bw, C)
+
+    # per-pixel tap-0 column within its group band (padded coords)
+    x0i = x0.astype(jnp.int32)
+    rel = ((x0i + P - 1).reshape(B, H, wt, 4)
+           - s[..., None])                       # (B, H, wt, 4)
+    fg = f.reshape(B, H, wt, 4, 1)
+    wio = jnp.arange(bw, dtype=jnp.int32)
+
+    cvs = []
+    # same block order as the exact path: k in (-1, 0, +1) == tap starts
+    # (2, 1, 0); each block lerps taps (j, j+1) with the shared fraction
+    for j in (2, 1, 0):
+        okj = ((x0i - 1 + j >= 0) & (x0i - 1 + j <= W - 1)) \
+            .astype(fea_r.dtype).reshape(B, H, wt, 4, 1)
+        okj1 = ((x0i + j >= 0) & (x0i + j <= W - 1)) \
+            .astype(fea_r.dtype).reshape(B, H, wt, 4, 1)
+        sel = ((rel[..., None] + j == wio) * ((1 - fg) * okj)
+               + (rel[..., None] + j + 1 == wio) * (fg * okj1)
+               )                                 # (B, H, wt, 4, bw)
+        warped = jnp.sum(sel[..., None] * band[:, :, :, None, :, :],
+                         axis=-2)                # (B, H, wt, 4, C)
+        cv = jnp.sum(jnp.abs(fea_l - warped.reshape(B, H, W, C)),
+                     axis=-1, keepdims=True)
+        cvs.append(pixel_unshuffle(cv, 4))
+    return jnp.concatenate(cvs, -1)
+
+
 class ResBlock(nn.Module):
     features: int
     dilation: int = 1
@@ -434,9 +519,9 @@ def _resolve_warp_variant(variant: str) -> str:
         return "exact"
     # a typo'd variant silently running the default path is the same
     # measurement trap the builder's strict runtime-key guard closes
-    assert variant in ("exact", "tilewin", "pallas"), \
+    assert variant in ("exact", "tilewin", "grouped", "pallas"), \
         f"bad tile_warp_variant {variant!r}; known: auto, exact, tilewin, " \
-        "pallas"
+        "grouped, pallas"
     return variant
 
 
@@ -450,6 +535,8 @@ class _CVEncoder(nn.Module):
         variant = _resolve_warp_variant(self.warp_variant)
         if variant == "tilewin":
             cv = tile_warping_tilewin(hyp3, fea_l, fea_r)
+        elif variant == "grouped":
+            cv = tile_warping_grouped(hyp3, fea_l, fea_r)
         elif variant == "pallas":
             # fused VMEM tile-warp kernel (forward-only — inference
             # opt-in, on-chip gate scripts/check_tile_warp_tpu.py)

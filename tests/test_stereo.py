@@ -8,7 +8,7 @@ import jax.numpy as jnp
 
 from codd_tpu.models.stereo.hitnet import (
     HITNetStereo, HITUNet, _warp_by_disp, calc_init_cost, tile_warping,
-    tile_warping_tilewin,
+    tile_warping_grouped, tile_warping_tilewin,
 )
 from codd_tpu.ops.upsample import pixel_unshuffle, to_plane
 
@@ -68,6 +68,55 @@ def test_tile_warping_matches_per_warp_oracle():
     got_tw = tile_warping_tilewin(hyp3, fea_l, fea_r)
     np.testing.assert_allclose(np.asarray(got_tw), np.asarray(want),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_tile_warping_grouped_matches_exact():
+    """Row-anchored group-gather variant == the exact path inside its
+    contract (3*|1-dx| <= bw-5, dy-free), incl. integer and out-of-range
+    disparities and band clamping at both image edges."""
+    rng = np.random.RandomState(7)
+    B, H, W, C = 2, 8, 160, 5
+    fea_l = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    fea_r = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    ht, wt = H // 4, W // 4
+    d = rng.uniform(-6, W + 6, (B, ht, wt)).astype(np.float32)
+    d[0, 0, :] = np.arange(wt, dtype=np.float32)  # integer disparities
+    # dx spans the full contract range; dy is unbounded by design
+    dx = rng.uniform(-1.3, 3.3, (B, ht, wt)).astype(np.float32)
+    dy = rng.uniform(-4.0, 4.0, (B, ht, wt)).astype(np.float32)
+    hyp3 = jnp.asarray(np.stack([d, dx, dy], axis=-1))
+    got = tile_warping_grouped(hyp3, fea_l, fea_r)
+    want = tile_warping(hyp3, fea_l, fea_r)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_tile_warping_grouped_differentiable():
+    """Grouped warp must carry gradients matching the exact path's on the
+    shared support (it replaces a differentiable reference op)."""
+    rng = np.random.RandomState(5)
+    B, H, W, C = 1, 8, 16, 4
+    fea_l = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    fea_r = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    hyp3 = jnp.asarray(np.stack(
+        [rng.uniform(0, 8, (B, 2, 4)), rng.uniform(-0.5, 0.5, (B, 2, 4)),
+         rng.uniform(-0.5, 0.5, (B, 2, 4))], axis=-1).astype(np.float32))
+
+    def loss(h, fl, fr):
+        return jnp.sum(tile_warping_grouped(h, fl, fr) ** 2)
+
+    gh, gl, gr = jax.grad(loss, argnums=(0, 1, 2))(hyp3, fea_l, fea_r)
+    for g in (gh, gl, gr):
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
+
+    def loss_exact(h, fl, fr):
+        return jnp.sum(tile_warping(h, fl, fr) ** 2)
+
+    eh, el, er = jax.grad(loss_exact, argnums=(0, 1, 2))(hyp3, fea_l, fea_r)
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(el), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(er), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(eh), atol=1e-3)
 
 
 def test_tile_warping_tilewin_differentiable():
