@@ -53,7 +53,7 @@ def main():
                         "tilewin)")
     p.add_argument("--corr-impl", default="auto",
                    help="corr pyramid/lookup path (ops.corr impls: auto, "
-                        "patch, volume, volume_pallas)")
+                        "patch, volume, volume_pallas, volume_reduce)")
     p.add_argument("--gn-impl", default="auto",
                    help="GN aggregation path (ops.gn build_system impls)")
     p.add_argument("--gn-bf16", action="store_true",

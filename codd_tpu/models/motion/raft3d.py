@@ -166,6 +166,13 @@ class GNIteration(nn.Module):
         return new_carry, ys
 
 
+# volume-layout corr impls and their column-select backend (ops.corr
+# _lookup_level_volume): einsum one-hot ("xla"), fused VMEM kernel
+# ("pallas"), or the fused VPU compare-select reduce ("reduce")
+_CORR_SELECT = {"volume": "xla", "volume_pallas": "pallas",
+                "volume_reduce": "reduce"}
+
+
 class RAFT3D(nn.Module):
     """Dense SE(3) scene-flow estimator.
 
@@ -212,9 +219,7 @@ class RAFT3D(nn.Module):
                         emit_supervision=train_mode,
                         gn_impl=self.gn_impl,
                         gn_bf16_scores=self.gn_bf16_scores,
-                        corr_select=("pallas"
-                                     if corr_impl == "volume_pallas"
-                                     else "xla"),
+                        corr_select=_CORR_SELECT.get(corr_impl, "xla"),
                         name="gn_iter")
 
     def encode(self, image):
@@ -240,10 +245,7 @@ class RAFT3D(nn.Module):
         corr_impl = self.corr_impl
         if corr_impl == "auto":
             corr_impl = "patch" if train_mode else "volume"
-        if corr_impl == "volume_pallas":
-            pyr_impl = "volume"
-        else:
-            pyr_impl = corr_impl
+        pyr_impl = ("volume" if corr_impl in _CORR_SELECT else corr_impl)
         pyramid = corr_ops.build_corr_pyramid(fmap_prev, fmap_curr,
                                               self.corr_levels,
                                               impl=pyr_impl)

@@ -177,6 +177,20 @@ def _lookup_level_volume(vol: jnp.ndarray, coords: jnp.ndarray,
         dots = window_select(slabs.reshape(B * N * t, SW), sx_rows, t=t,
                              interpret=interpret)
         dots = dots.reshape(B, N, t, t)
+    elif select == "reduce":
+        # compare-select reduce on the VPU: the einsum path below batches
+        # N tiny (t, SW)x(SW, t) matmuls that pad to 128 lanes on the MXU
+        # and materializes the (B, N, SW, t) mask in HBM; here the virtual
+        # (B, N, t, t, SW) product is reduced on SW in one fused
+        # elementwise pass.  Exactly one term per (y, k) is nonzero, so
+        # the result is bit-identical to the einsum's.
+        w_iota = jnp.arange(SW, dtype=jnp.int32)
+        k_iota = jnp.arange(t, dtype=jnp.int32)
+        selk = (w_iota[None, None, None, :]
+                == (sx[:, :, None] + k_iota[None, None, :])[..., None]
+                ).astype(slabs.dtype)  # (B, N, t, SW)
+        dots = jnp.sum(slabs[:, :, :, None, :] * selk[:, :, None, :, :],
+                       axis=-1)  # (B, N, t, t)
     else:
         # column selection: dots[b,n,y,k] = slabs[b,n,y,sx+k]; the one-hot
         # contraction runs on the MXU, never materializing scalar gathers

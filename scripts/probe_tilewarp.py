@@ -16,7 +16,7 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 from codd_tpu.models.stereo.hitnet import (  # noqa: E402
-    tile_warping, tile_warping_tilewin)
+    tile_warping, tile_warping_grouped, tile_warping_tilewin)
 
 B, H, W, C = 1, 384, 1280, 16
 ht, wt = H // 4, W // 4
@@ -54,6 +54,11 @@ cases = _sys.argv[1:] or ["exact", "mac", "reduce", "reduce16"]
 for case in cases:
     if case == "exact":
         ms = chain_ms(tile_warping)
+    elif case == "grouped":
+        ms = chain_ms(tile_warping_grouped)
+    elif case == "grouped16":
+        ms = chain_ms(
+            lambda h, l, r: tile_warping_grouped(h, l, r, bw=16))
     elif case == "reduce16":
         ms = chain_ms(
             lambda h, l, r: tile_warping_tilewin(h, l, r, "reduce", tw=16))

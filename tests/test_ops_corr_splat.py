@@ -78,6 +78,22 @@ def test_corr_volume_pallas_select_matches_xla():
     np.testing.assert_allclose(out_p, out_x, atol=1e-5)
 
 
+def test_corr_volume_reduce_select_matches_xla():
+    """The VPU compare-select reduce is bit-identical to the one-hot
+    einsum path (exactly one nonzero term per output element)."""
+    rng = np.random.RandomState(9)
+    f1 = rng.randn(2, 8, 16, 8).astype(np.float32)
+    f2 = rng.randn(2, 8, 16, 8).astype(np.float32)
+    pyr = build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=2,
+                             impl="volume", radius=3)
+    coords = rng.uniform(-2.0, 17.0, size=(2, 8, 16, 2)).astype(np.float32)
+    out_x = np.asarray(corr_lookup(pyr, jnp.asarray(coords), radius=3,
+                                   select="xla"))
+    out_r = np.asarray(corr_lookup(pyr, jnp.asarray(coords), radius=3,
+                                   select="reduce"))
+    np.testing.assert_allclose(out_r, out_x, atol=0, rtol=0)
+
+
 def test_corr_volume_wide_level():
     """Wide level (Wp > 128): both select backends match the dense oracle
     across several 128-column blocks and at both image edges."""
