@@ -191,7 +191,9 @@ class RAFT3D(nn.Module):
     gn_bf16_scores: bool = False
     # corr pyramid layout: "patch" (differentiable; training), "volume"
     # (precomputed per-level volumes + slab gathers; fastest inference),
-    # "auto" = volume in eval / patch in train (see ops.corr docstring)
+    # "auto" = volume_reduce in eval / patch in train (see ops.corr
+    # docstring; reduce select adopted at bench level 2026-08-20:
+    # 6.645 vs 6.551 FPS control, bit-identical to the einsum select)
     corr_impl: str = "auto"
 
     def setup(self):
@@ -213,7 +215,7 @@ class RAFT3D(nn.Module):
         )
         corr_impl = self.corr_impl
         if corr_impl == "auto":
-            corr_impl = "patch" if train_mode else "volume"
+            corr_impl = "patch" if train_mode else "volume_reduce"
         return ScanIter(hidden_dim=self.hidden_dim,
                         corr_radius=self.corr_radius,
                         emit_supervision=train_mode,
@@ -244,7 +246,7 @@ class RAFT3D(nn.Module):
         fmap_curr = self.fnet(image_curr)
         corr_impl = self.corr_impl
         if corr_impl == "auto":
-            corr_impl = "patch" if train_mode else "volume"
+            corr_impl = "patch" if train_mode else "volume_reduce"
         pyr_impl = ("volume" if corr_impl in _CORR_SELECT else corr_impl)
         pyramid = corr_ops.build_corr_pyramid(fmap_prev, fmap_curr,
                                               self.corr_levels,
