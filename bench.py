@@ -56,6 +56,9 @@ def main():
                         "patch, volume, volume_pallas, volume_reduce)")
     p.add_argument("--gn-impl", default="auto",
                    help="GN aggregation path (ops.gn build_system impls)")
+    p.add_argument("--gn-unroll", type=int, default=1,
+                   help="eval GN scan unroll factor (divisor of gn-iters; "
+                        "fuses across iteration boundaries)")
     p.add_argument("--gn-bf16", action="store_true",
                    help="bf16 GN attention scores (halves score HBM)")
     p.add_argument("--profile-dir", default=None,
@@ -75,7 +78,8 @@ def main():
     model = CODD(max_disp=args.max_disp, iters=args.gn_iters,
                  splat_impl=args.splat_impl, splat_impl_lr=args.splat_impl_lr,
                  gn_impl=args.gn_impl, gn_bf16_scores=args.gn_bf16,
-                 corr_impl=args.corr_impl, tile_warp_variant=args.tile_warp,
+                 corr_impl=args.corr_impl, gn_unroll=args.gn_unroll,
+                 tile_warp_variant=args.tile_warp,
                  init_cost_variant=args.init_cost)
     rng = np.random.RandomState(0)
     # rotate through distinct synthetic frames so no layer of the stack can

@@ -30,7 +30,8 @@ def build_estimator(model_cfg: Dict[str, Any]) -> CODD:
     runtime = model_cfg.get("runtime") or {}
     _known = {"init_cost_variant", "tile_warp_variant", "gn_impl",
               "gn_bf16_scores", "splat_impl", "splat_impl_lr",
-              "splat_impl_train", "corr_impl", "pixel_center_offset"}
+              "splat_impl_train", "corr_impl", "gn_unroll",
+              "pixel_center_offset"}
     unknown = set(runtime) - _known
     if unknown:
         # a typo'd runtime switch silently running the default path is a
@@ -57,6 +58,7 @@ def build_estimator(model_cfg: Dict[str, Any]) -> CODD:
         tile_warp_variant=str(runtime.get("tile_warp_variant", "auto")),
         gn_impl=str(runtime.get("gn_impl", "auto")),
         corr_impl=str(runtime.get("corr_impl", "auto")),
+        gn_unroll=int(runtime.get("gn_unroll", 1)),
         gn_bf16_scores=bool(runtime.get("gn_bf16_scores", False)),
         splat_impl=str(runtime.get("splat_impl", "xla_gather")),
         splat_impl_lr=str(runtime.get("splat_impl_lr", "")),

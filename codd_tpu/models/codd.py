@@ -82,6 +82,7 @@ class CODD(nn.Module):
     gn_impl: str = "auto"             # GN aggregation path
     gn_bf16_scores: bool = False      # bf16 GN attention scores
     corr_impl: str = "auto"           # corr pyramid layout (ops.corr)
+    gn_unroll: int = 1                # eval-only GN scan unroll (raft3d)
     splat_impl: str = "xla_gather"    # inference splat backend (ops.splat)
     splat_impl_lr: str = ""           # quarter-res override ("" = same)
     splat_impl_train: str = "xla"     # differentiable training splat
@@ -102,6 +103,7 @@ class CODD(nn.Module):
             self.motion = Motion(iters=self.iters, gn_impl=self.gn_impl,
                                  gn_bf16_scores=self.gn_bf16_scores,
                                  corr_impl=self.corr_impl,
+                                 gn_unroll=self.gn_unroll,
                                  splat_impl=self.splat_impl,
                                  splat_impl_lr=self.splat_impl_lr,
                                  splat_impl_train=self.splat_impl_train,

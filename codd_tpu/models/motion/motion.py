@@ -70,11 +70,13 @@ class Motion(nn.Module):
     gn_impl: str = "auto"        # GN aggregation path (ops.gn.build_system)
     gn_bf16_scores: bool = False
     corr_impl: str = "auto"      # corr pyramid layout (ops.corr docstring)
+    gn_unroll: int = 1           # eval-only GN scan unroll (raft3d.py)
 
     def setup(self):
         self.raft3d = RAFT3D(iters=self.iters, gn_impl=self.gn_impl,
                              gn_bf16_scores=self.gn_bf16_scores,
                              corr_impl=self.corr_impl,
+                             gn_unroll=self.gn_unroll,
                              name="raft3d")
 
     def encode(self, image):

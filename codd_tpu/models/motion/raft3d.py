@@ -195,6 +195,14 @@ class RAFT3D(nn.Module):
     # docstring; reduce select adopted at bench level 2026-08-20:
     # 6.645 vs 6.551 FPS control, bit-identical to the einsum select)
     corr_impl: str = "auto"
+    # lax.scan unroll factor for the GN refinement loop (EVAL only —
+    # training keeps unroll=1 so remat + the train-step compile budget
+    # are unaffected).  The scan body boundary is a fusion barrier: the
+    # standalone GN aggregation chain runs 0.57 ms/iter but costs
+    # ~1.6 ms/iter in-context (probe_gn_fused, 2026-08-19); unrolling
+    # lets XLA fuse across iteration boundaries.  Compile time grows
+    # ~linearly in the factor — keep it a divisor of ``iters``.
+    gn_unroll: int = 1
 
     def setup(self):
         self.fnet = BasicEncoder(128, name="fnet")
@@ -212,6 +220,7 @@ class RAFT3D(nn.Module):
             variable_broadcast="params",
             split_rngs={"params": False},
             length=self.iters,
+            unroll=1 if train_mode else self.gn_unroll,
         )
         corr_impl = self.corr_impl
         if corr_impl == "auto":

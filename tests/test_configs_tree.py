@@ -58,13 +58,14 @@ def test_runtime_knobs_reach_model_and_typos_rejected():
     cfg["model"]["runtime"] = dict(
         init_cost_variant="map", tile_warp_variant="tilewin",
         gn_impl="windowed", gn_bf16_scores=True, splat_impl="sort",
-        splat_impl_lr="pallas", corr_impl="volume",
+        splat_impl_lr="pallas", corr_impl="volume", gn_unroll=4,
         pixel_center_offset=-0.5)
     m = build_estimator(cfg["model"])
     assert m.init_cost_variant == "map"
     assert m.tile_warp_variant == "tilewin"
     assert m.gn_impl == "windowed"
     assert m.corr_impl == "volume"
+    assert m.gn_unroll == 4
     assert m.gn_bf16_scores is True
     assert m.splat_impl == "sort"
     assert m.splat_impl_lr == "pallas"

@@ -76,3 +76,34 @@ def test_tile_warp_pallas_variant_dispatch():
     ref = np.asarray(tile_warping(hyp3, fl, fr))
     got = np.asarray(tile_warp_cost(hyp3, fl, fr, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_gn_unroll_matches_scan():
+    """gn_unroll only changes lax.scan's unroll factor (eval path) — the
+    math is identical, so outputs must match the unroll=1 scan."""
+    from codd_tpu.models.motion.raft3d import RAFT3D
+
+    rng = np.random.RandomState(2)
+    B, H, W = 1, 32, 64
+    h8, w8 = H // 8, W // 8
+    img = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    dprev = jnp.asarray((rng.rand(B, H, W) * 10 + 1).astype(np.float32))
+    dcur = jnp.asarray((rng.rand(B, H, W) * 10 + 1).astype(np.float32))
+    intr = jnp.asarray([[45.0, 45.0, W / 2, H / 2]], jnp.float32)
+    fmap = jnp.asarray(rng.randn(B, h8, w8, 128).astype(np.float32) * 0.1)
+    netinp = jnp.asarray(rng.randn(B, h8, w8, 512).astype(np.float32) * 0.1)
+
+    def run(unroll):
+        m = RAFT3D(iters=4, gn_unroll=unroll)
+        params = m.init(jax.random.PRNGKey(0), img, dprev, dcur, intr,
+                        fmap, netinp)
+        out, _, _ = m.apply(params, img, dprev, dcur, intr, fmap, netinp)
+        return out
+
+    ref = run(1)
+    for unroll in (2, 4):
+        got = run(unroll)
+        for k in ("Ts", "flow2d_est_induced", "weight"):
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(ref[k]),
+                                       rtol=1e-5, atol=1e-5, err_msg=k)
