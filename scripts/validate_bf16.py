@@ -153,6 +153,11 @@ def main():
           f"p99={np.percentile(delta, 99):.4f}px max={delta.max():.4f}px")
     print("VERDICT-rule (<0.05px mean delta):",
           "PASS -> bf16 can be default" if delta.mean() < 0.05 else "FAIL")
+    print("PROTOCOL NOTE: this certifies bf16 NUMERICS on a briefly "
+          "trained stereo net + random-init motion/fusion — not accuracy "
+          "vs the reference's pretrained checkpoints, which are "
+          "unreachable offline (VERDICT r4 weak #7).  Re-run against "
+          "real checkpoints when/if they appear.")
 
 
 if __name__ == "__main__":
